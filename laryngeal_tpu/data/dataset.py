@@ -1,0 +1,191 @@
+"""Dataset walker + clip loading — one implementation for all five pipelines.
+
+Replaces the five near-identical ``VideoDataset`` copies in the reference
+(canonical: ``vivit_transformer/vivit_classifier/data_config/dataset.py``).
+
+Directory-layout tolerance matches the reference exactly
+(dataset.py:24-31): given ``root_dir`` and ``mode``, data is found at
+``root/dataset/{mode}`` if ``root/dataset`` exists, else ``root/{mode}`` if it
+exists, else ``root/dataset/{mode}`` (and a FileNotFoundError if absent).
+
+Label policies (both exist in the reference):
+- ``sorted``: labels from sorted class-dir names (ViViT/TimeSformer,
+  dataset.py:80-85). For {non_referral, referral} this yields referral=1.
+- ``referral``: hardcoded ``referral``->1, everything else 0
+  (resnet50-3d-video dataset.py:68-73, 2d-lstm, swin).
+"""
+
+from __future__ import annotations
+
+import logging
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from .samplers import FrameSampler
+from .video import decode_frames, get_video_properties, verify_video_integrity
+
+logger = logging.getLogger(__name__)
+
+VIDEO_EXTENSIONS = (".mp4",)  # the reference globs *.mp4 only
+
+
+def resolve_data_dir(root_dir, mode: str) -> Path:
+    root = Path(root_dir)
+    if not (root / "dataset").exists():
+        if (root / mode).exists():
+            return root / mode
+        return root / "dataset" / mode
+    return root / "dataset" / mode
+
+
+class VideoDataset:
+    """Walks ``{data_dir}/{class}/*.mp4``, assigns labels, samples frame
+    indices, and decodes fixed-length uint8 clips.
+
+    Unlike the reference (which re-decodes every video every epoch — its main
+    host-side perf bug), decoded clips can be cached in RAM (``cache_clips``):
+    132 videos x 32 x 224x224x3 uint8 ~= 0.6 GB. Training-time random
+    samplers still resample indices per epoch unless per-video seeding is on;
+    the cache key includes the index tuple.
+    """
+
+    def __init__(
+        self,
+        root_dir,
+        mode: str = "train",
+        sampling_method: str = "uniform",
+        num_frames: int = 32,
+        label_policy: str = "sorted",
+        per_video_seed: bool = False,
+        seed: int = 42,
+        verify_integrity: bool = False,
+        resize_to: Optional[tuple] = (224, 224),
+        cache_clips: bool = True,
+        video_paths: Optional[Sequence[str]] = None,
+    ):
+        self.root_dir = Path(root_dir)
+        self.mode = mode
+        self.num_frames = int(num_frames)
+        self.sampling_method = sampling_method
+        self.resize_to = resize_to
+        self.cache_clips = cache_clips
+        self._clip_cache: Dict = {}
+        self._props_cache: Dict = {}
+
+        self.sampler = FrameSampler(
+            sampling_method, num_frames, seed=seed, per_video_seed=per_video_seed
+        )
+
+        self.video_paths: List[str] = []
+        self.labels: List[int] = []
+        self.class_labels: List[str] = []
+
+        if video_paths is not None:
+            # Inference mode: explicit file list, dummy labels (the
+            # timesformer dataset's mode='inference' branch).
+            self.video_paths = [str(p) for p in video_paths]
+            self.labels = [0] * len(self.video_paths)
+            self.class_labels = ["non_referral", "referral"]
+        else:
+            self.data_dir = resolve_data_dir(root_dir, mode)
+            self._load(label_policy, verify_integrity)
+
+    def _load(self, label_policy: str, verify: bool) -> None:
+        if not self.data_dir.exists():
+            raise FileNotFoundError(f"Data directory not found: {self.data_dir}")
+        class_dirs = sorted(d for d in self.data_dir.iterdir() if d.is_dir())
+        self.class_labels = [d.name for d in class_dirs]
+        label_map = {name: i for i, name in enumerate(self.class_labels)}
+
+        for class_dir in class_dirs:
+            if label_policy == "referral":
+                label = 1 if class_dir.name == "referral" else 0
+            else:
+                label = label_map[class_dir.name]
+            files = sorted(class_dir.glob("*.mp4"))
+            if verify:
+                files = [f for f in files if verify_video_integrity(f)]
+            for f in files:
+                self.video_paths.append(str(f))
+                self.labels.append(label)
+        logger.info(
+            "Found %d videos for %s (classes=%s)",
+            len(self.video_paths), self.mode, self.class_labels,
+        )
+
+    def __len__(self) -> int:
+        return len(self.video_paths)
+
+    def video_properties(self, path: str):
+        if path not in self._props_cache:
+            self._props_cache[path] = get_video_properties(path)
+        return self._props_cache[path]
+
+    def __getitem__(self, idx: int) -> Dict:
+        path = self.video_paths[idx]
+        label = self.labels[idx]
+        # Robustness contract (vivit dataset.py:370-381): any decode failure
+        # yields a gray placeholder clip with empty frame_indices, never an
+        # exception out of the data path.
+        try:
+            total_frames, *_ = self.video_properties(path)
+            indices = self.sampler(path, total_frames)
+        except Exception as e:
+            logger.warning("Could not probe %s: %s — placeholder clip", path, e)
+            hw = self.resize_to or (224, 224)
+            clip = np.full((self.num_frames, hw[1], hw[0], 3), 127, np.uint8)
+            return {"pixel_values": clip, "label": int(label),
+                    "video_path": path, "frame_indices": []}
+
+        key = (path, tuple(indices))
+        if self.cache_clips and key in self._clip_cache:
+            clip = self._clip_cache[key]
+        else:
+            try:
+                clip = decode_frames(path, indices, resize_to=self.resize_to)
+            except Exception as e:
+                logger.warning("Decode failed for %s: %s — placeholder clip", path, e)
+                hw = self.resize_to or (224, 224)
+                clip = np.full((self.num_frames, hw[1], hw[0], 3), 127, np.uint8)
+            if self.cache_clips:
+                self._clip_cache[key] = clip
+        return {
+            "pixel_values": clip,
+            "label": int(label),
+            "video_path": path,
+            "frame_indices": list(indices),
+        }
+
+    def save_sampled_indices(self, log_dir) -> Optional[str]:
+        """CSV audit of per-video sampled indices
+        (resnet50-3d-video/.../dataset.py:245-288)."""
+        import csv
+        import os
+
+        if not log_dir:
+            return None
+        for p in self.video_paths:
+            total = self.video_properties(p)[0]
+            self.sampler(p, total)
+        path = os.path.join(
+            str(log_dir), f"sampled_frames_{self.mode}_{self.sampling_method}.csv"
+        )
+        cache = self.sampler.cached_indices
+        with open(path, "w", newline="") as f:
+            wr = csv.writer(f)
+            wr.writerow(["video_filename", "total_frames", "sampled_frames"])
+            for p in sorted(self.video_paths):
+                total = self.video_properties(p)[0]
+                idx = cache.get(p) or self.sampler(p, total)
+                wr.writerow([os.path.basename(p), total, ",".join(map(str, idx))])
+        return path
+
+    @property
+    def class_counts(self) -> Dict[str, int]:
+        counts: Dict[str, int] = {}
+        for lbl in self.labels:
+            name = self.class_labels[lbl] if lbl < len(self.class_labels) else str(lbl)
+            counts[name] = counts.get(name, 0) + 1
+        return counts

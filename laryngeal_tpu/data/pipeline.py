@@ -1,0 +1,153 @@
+"""Host->device clip pipeline: batching, background prefetch, device feed.
+
+Replaces the reference's ``DataLoader(num_workers, pin_memory)`` +
+per-batch ``.to(device)`` (``vivit_transformer/.../data_config/dataloader.py:52-135``)
+with a thread-prefetched numpy batcher whose output is dropped straight onto
+the device mesh with ``jax.device_put`` + NamedSharding — decode overlaps TPU
+compute via a bounded queue (double buffering).
+
+Batches are dense uint8 (B,T,H,W,C) — unlike the reference's HF-variant
+collate (a Python list of per-video numpy arrays re-processed by the HF image
+processor on host every epoch), preprocessing here is jitted on device
+(see preprocess.transforms), so the host only decodes and stacks.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+from .dataset import VideoDataset
+
+
+class ClipLoader:
+    """Iterable over stacked clip batches with background prefetch."""
+
+    def __init__(
+        self,
+        dataset: VideoDataset,
+        batch_size: int = 4,
+        shuffle: bool = False,
+        seed: int = 42,
+        drop_last: bool = False,
+        prefetch: int = 2,
+        pad_last: bool = False,
+    ):
+        self.dataset = dataset
+        self.batch_size = int(batch_size)
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.prefetch = max(1, int(prefetch))
+        self.pad_last = pad_last
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _order(self) -> np.ndarray:
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self._epoch)
+            rng.shuffle(idx)
+        return idx
+
+    def _make_batch(self, indices) -> Dict:
+        items = [self.dataset[int(i)] for i in indices]
+        pixel = np.stack([it["pixel_values"] for it in items])
+        labels = np.asarray([it["label"] for it in items], dtype=np.int32)
+        mask = np.ones(len(items), dtype=np.bool_)
+        if self.pad_last and len(items) < self.batch_size:
+            pad = self.batch_size - len(items)
+            pixel = np.concatenate([pixel, np.repeat(pixel[-1:], pad, axis=0)])
+            labels = np.concatenate([labels, np.repeat(labels[-1:], pad)])
+            mask = np.concatenate([mask, np.zeros(pad, dtype=np.bool_)])
+        return {
+            "pixel_values": pixel,
+            "labels": labels,
+            "mask": mask,
+            "video_paths": [it["video_path"] for it in items],
+            "frame_indices": [it["frame_indices"] for it in items],
+        }
+
+    def __iter__(self) -> Iterator[Dict]:
+        order = self._order()
+        self._epoch += 1
+        n = len(order)
+        batch_starts = list(range(0, n, self.batch_size))
+        if self.drop_last and batch_starts and n - batch_starts[-1] < self.batch_size:
+            batch_starts.pop()
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+        error_holder = []
+
+        def worker():
+            try:
+                for s in batch_starts:
+                    q.put(self._make_batch(order[s : s + self.batch_size]))
+            except Exception as e:  # surfaced on the consumer side
+                error_holder.append(e)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+        t.join()
+        if error_holder:
+            raise error_holder[0]
+
+
+def create_dataloaders(
+    data_dir,
+    test_data_dir=None,
+    sampling_methods: Optional[Dict[str, str]] = None,
+    num_frames: int = 32,
+    batch_size: int = 4,
+    seed: int = 42,
+    label_policy: str = "sorted",
+    per_video_seed: bool = False,
+    verify_integrity: bool = False,
+    resize_to=(224, 224),
+    drop_last_train: bool = False,
+    pad_last: bool = False,
+    cache_clips: bool = True,
+) -> Dict[str, ClipLoader]:
+    """Train/val/test loaders — the reference ``create_dataloaders`` surface
+    (vivit_transformer/.../dataloader.py:52-135) for all five pipelines."""
+    sampling_methods = sampling_methods or {}
+    loaders = {}
+    for split in ("train", "val", "test"):
+        root = test_data_dir if (split == "test" and test_data_dir) else data_dir
+        ds = VideoDataset(
+            root,
+            mode=split,
+            sampling_method=sampling_methods.get(split, "uniform"),
+            num_frames=num_frames,
+            label_policy=label_policy,
+            per_video_seed=per_video_seed,
+            seed=seed,
+            verify_integrity=verify_integrity,
+            resize_to=resize_to,
+            cache_clips=cache_clips,
+        )
+        loaders[split] = ClipLoader(
+            ds,
+            batch_size=batch_size,
+            shuffle=(split == "train"),
+            seed=seed,
+            drop_last=(split == "train" and drop_last_train),
+            pad_last=pad_last,
+        )
+    return loaders

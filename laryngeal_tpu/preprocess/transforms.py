@@ -1,0 +1,196 @@
+"""Jittable clip preprocessing — XLA-fused resize / crop / flip / normalize.
+
+Two normalization regimes exist in the reference:
+
+**pytorchvideo regime** (resnet50-2d-lstm, resnet50-3d, video-swin;
+``resnet50-3d-video/video_classifier/data_config/dataset.py:171-193``):
+    train: UniformTemporalSubsample -> RandomShortSideScale(256, 320) ->
+           RandomCrop(224) -> RandomHorizontalFlip(0.5) ->
+           Normalize(mean=.45, std=.225)
+    eval : ShortSideScale(256) -> CenterCrop(224) -> Normalize(.45, .225)
+
+**HF-processor regime** (vivit, timesformer; processors applied per batch in
+``vivit_transformer/.../trainers/trainer.py:62-104``):
+    ViViT  (VivitImageProcessor defaults): resize shortest edge 256 ->
+           center crop 224 -> rescale x*2/255 with offset -1 -> normalize
+           (mean .5, std .5)  ==  pixel' = 4x/255 - 3.
+    TimeSformer (VideoMAEImageProcessor defaults w/ explicit 224 kwargs):
+           resize shortest edge 224 -> center crop 224 -> x/255 ->
+           normalize (.5, .5)  ==  pixel' = 2x/255 - 1.
+
+TPU-native design: instead of materializing the intermediate scaled image
+(as torch `interpolate` + `RandomCrop` does), the whole geometric chain
+*scale-by-f then crop-at-offset* is ONE bilinear gather with a static
+224x224 output — ``jax.image.scale_and_translate`` with traced ``scale`` and
+``translation``. Everything here is shape-static and jit/vmap-safe; random
+draws use explicit ``jax.random`` keys. This lets XLA fuse normalize into the
+gather and keeps the preprocessing inside the single decode->logits graph.
+
+Interpolation parity notes:
+- pytorchvideo uses ``F.interpolate(mode='bilinear')`` (antialias OFF) — we
+  pass ``antialias=False``.
+- HF processors resample via PIL BILINEAR (area-weighted => antialias ON) —
+  we pass ``antialias=True``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+# Reference normalization constants.
+PTV_MEAN = 0.45   # resnet50-2d-lstm/inference.py:37-38
+PTV_STD = 0.225
+
+Array = jax.Array
+
+
+def normalize(video: Array, mean: float = PTV_MEAN, std: float = PTV_STD) -> Array:
+    """(x/255 - mean)/std on a uint8-or-float clip; returns float32."""
+    x = video.astype(jnp.float32) / 255.0
+    return (x - mean) / std
+
+
+def scale_crop(
+    video: Array,
+    scale: Array,
+    offset_yx: Array,
+    out_hw: Tuple[int, int] = (224, 224),
+    antialias: bool = False,
+) -> Array:
+    """Fused `resize by factor `scale`` then `crop at offset_yx` (scaled coords).
+
+    video: (T, H, W, C) float32. scale: scalar (traced ok). offset_yx: (2,)
+    in scaled-image coordinates. Output: (T, out_h, out_w, C).
+    """
+    video = video.astype(jnp.float32)
+    t, _, _, c = video.shape
+    out_shape = (t, out_hw[0], out_hw[1], c)
+    scale2 = jnp.stack([scale, scale]).astype(jnp.float32)
+    translation = -offset_yx.astype(jnp.float32)
+    return jax.image.scale_and_translate(
+        video, out_shape, spatial_dims=(1, 2), scale=scale2,
+        translation=translation, method="linear", antialias=antialias,
+    )
+
+
+def short_side_scale_factor(h: int, w: int, size: Array) -> Array:
+    """Scale factor putting the short side at `size` (pytorchvideo ShortSideScale)."""
+    return size.astype(jnp.float32) / jnp.float32(min(h, w))
+
+
+def center_crop_scale(
+    video: Array, size: int = 256, crop: int = 224, antialias: bool = False
+) -> Array:
+    """ShortSideScale(size) + CenterCrop(crop) as one gather (eval transform)."""
+    _, h, w, _ = video.shape
+    f = short_side_scale_factor(h, w, jnp.float32(size))
+    new_h, new_w = h * f, w * f
+    offset = jnp.stack([(new_h - crop) / 2.0, (new_w - crop) / 2.0])
+    return scale_crop(video, f, offset, (crop, crop), antialias=antialias)
+
+
+def random_scale_crop(
+    video: Array,
+    key: Array,
+    min_size: int = 256,
+    max_size: int = 320,
+    crop: int = 224,
+    antialias: bool = False,
+) -> Array:
+    """RandomShortSideScale(min,max) + RandomCrop(crop) as one gather.
+
+    Matches pytorchvideo semantics: integer target short side uniform in
+    [min_size, max_size], then uniform integer crop offset.
+    """
+    _, h, w, _ = video.shape
+    k1, k2, k3 = jax.random.split(key, 3)
+    size = jax.random.randint(k1, (), min_size, max_size + 1).astype(jnp.float32)
+    f = short_side_scale_factor(h, w, size)
+    new_h, new_w = h * f, w * f
+    # Integer offsets like torchvision RandomCrop.
+    max_y = jnp.maximum(jnp.floor(new_h) - crop, 0.0)
+    max_x = jnp.maximum(jnp.floor(new_w) - crop, 0.0)
+    oy = jnp.floor(jax.random.uniform(k2, ()) * (max_y + 1.0))
+    ox = jnp.floor(jax.random.uniform(k3, ()) * (max_x + 1.0))
+    offset = jnp.stack([oy, ox])
+    return scale_crop(video, f, offset, (crop, crop), antialias=antialias)
+
+
+def random_hflip(video: Array, key: Array, p: float = 0.5) -> Array:
+    """Horizontal flip of the whole clip with probability p."""
+    flip = jax.random.bernoulli(key, p)
+    return jax.lax.cond(flip, lambda v: v[:, :, ::-1, :], lambda v: v, video)
+
+
+# ---------------------------------------------------------------------------
+# Full per-clip pipelines (uint8 (T,H,W,C) in, float32 (T,crop,crop,C) out).
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("crop", "min_size", "max_size"))
+def pytorchvideo_train(
+    video_u8: Array, key: Array, crop: int = 224, min_size: int = 256, max_size: int = 320
+) -> Array:
+    """Train transform of the pytorchvideo regime (random scale/crop/flip + normalize)."""
+    kf, kc = jax.random.split(key)
+    v = video_u8.astype(jnp.float32)
+    v = random_scale_crop(v, kc, min_size, max_size, crop)
+    v = random_hflip(v, kf)
+    return (v / 255.0 - PTV_MEAN) / PTV_STD
+
+
+@partial(jax.jit, static_argnames=("crop", "size"))
+def pytorchvideo_eval(video_u8: Array, crop: int = 224, size: int = 256) -> Array:
+    """Eval transform of the pytorchvideo regime (deterministic)."""
+    v = video_u8.astype(jnp.float32)
+    v = center_crop_scale(v, size, crop)
+    return (v / 255.0 - PTV_MEAN) / PTV_STD
+
+
+@partial(jax.jit, static_argnames=("crop", "size"))
+def vivit_pixels(video_u8: Array, crop: int = 224, size: int = 256) -> Array:
+    """VivitImageProcessor semantics: shortest-edge 256 -> center crop 224 ->
+    rescale 2/255 with offset -> normalize(.5,.5). Net affine: 4x/255 - 3."""
+    v = video_u8.astype(jnp.float32)
+    v = center_crop_scale(v, size, crop, antialias=True)
+    return v * (4.0 / 255.0) - 3.0
+
+
+@partial(jax.jit, static_argnames=("crop", "size"))
+def timesformer_pixels(video_u8: Array, crop: int = 224, size: int = 224) -> Array:
+    """VideoMAEImageProcessor semantics (timesformer trainer kwargs):
+    shortest-edge 224 -> center crop 224 -> x/255 -> normalize(.5,.5)."""
+    v = video_u8.astype(jnp.float32)
+    v = center_crop_scale(v, size, crop, antialias=True)
+    return v * (2.0 / 255.0) - 1.0
+
+
+HF_PIXEL_FNS = {"vivit": vivit_pixels, "timesformer": timesformer_pixels}
+
+
+def batch_preprocess(
+    clips_u8: Array,
+    regime: str,
+    train: bool,
+    key: Optional[Array] = None,
+) -> Array:
+    """Preprocess a batch (B,T,H,W,C) uint8 -> (B,T,224,224,C) float32.
+
+    regime: 'pytorchvideo' | 'vivit' | 'timesformer'.
+    Train mode (pytorchvideo regime only) needs a PRNG key; per-sample keys
+    are split so augmentation is independent across the batch, matching the
+    reference's per-video torchvision transforms.
+    """
+    if regime == "pytorchvideo":
+        if train:
+            if key is None:
+                raise ValueError("train-mode preprocessing requires a PRNG key")
+            keys = jax.random.split(key, clips_u8.shape[0])
+            return jax.vmap(pytorchvideo_train)(clips_u8, keys)
+        return jax.vmap(pytorchvideo_eval)(clips_u8)
+    if regime in HF_PIXEL_FNS:
+        return jax.vmap(HF_PIXEL_FNS[regime])(clips_u8)
+    raise ValueError(f"Unknown preprocessing regime {regime!r}")
