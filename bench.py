@@ -1,0 +1,176 @@
+"""Benchmark — ViViT-B 32x224^2 end-to-end decode->logits clips/sec/chip.
+
+The north-star metric from BASELINE.json: host decode + sampling + jitted
+(preprocess -> ViViT-B forward) on one TPU chip, with decode overlapped via
+the prefetching ClipLoader. Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "clips/sec/chip", "vs_baseline": N}
+
+vs_baseline: the reference publishes no numbers (BASELINE.json "published"
+is {}) and no GPU exists in this image, so the baseline is the PyTorch
+reference pipeline (HF VivitImageProcessor per batch + torch
+VivitForVideoClassification forward, torch CPU) measured locally once and
+cached in BENCH_BASELINE.json. It is a *CPU* torch baseline — stated here so
+the ratio is not mistaken for the (unavailable) GPU comparison.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from pathlib import Path
+
+NUM_FRAMES = 32
+CROP = 224
+BATCH = 8
+N_VIDEOS = 48
+BENCH_DIR = Path(os.environ.get("BENCH_DATA_DIR", "/tmp/laryngeal_bench_data"))
+BASELINE_CACHE = Path(__file__).parent / "BENCH_BASELINE.json"
+
+
+def ensure_videos() -> list:
+    """Synthetic 224x224 mp4s (~3s @ 30fps) reused across runs."""
+    from laryngeal_tpu.data.synthetic import synth_video
+    from laryngeal_tpu.data.video import write_video
+    import numpy as np
+
+    BENCH_DIR.mkdir(parents=True, exist_ok=True)
+    paths = sorted(BENCH_DIR.glob("*.mp4"))
+    if len(paths) >= N_VIDEOS:
+        return paths[:N_VIDEOS]
+    rng = np.random.default_rng(0)
+    for i in range(N_VIDEOS):
+        p = BENCH_DIR / f"bench_{i:03d}.mp4"
+        if not p.exists():
+            clip = synth_video(rng, 96, CROP, CROP, referral=bool(i % 2))
+            write_video(p, clip, fps=30)
+    return sorted(BENCH_DIR.glob("*.mp4"))[:N_VIDEOS]
+
+
+def bench_tpu(paths) -> float:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from laryngeal_tpu.data.samplers import FrameSampler
+    from laryngeal_tpu.data.video import decode_frames
+    from laryngeal_tpu.models.vivit import VivitConfig, VivitForVideoClassification
+    from laryngeal_tpu.preprocess.transforms import batch_preprocess
+
+    cfg = VivitConfig(num_frames=NUM_FRAMES, image_size=CROP, num_classes=2,
+                      dtype=jnp.bfloat16)
+    model = VivitForVideoClassification(cfg)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, NUM_FRAMES, CROP, CROP, 3), jnp.float32)
+    )["params"]
+
+    @jax.jit
+    def forward(params, clips_u8):
+        clips = batch_preprocess(clips_u8, "vivit", train=False)
+        return jax.nn.softmax(model.apply({"params": params}, clips), axis=-1)
+
+    # Warmup / compile.
+    dummy = jnp.zeros((BATCH, NUM_FRAMES, CROP, CROP, 3), jnp.uint8)
+    forward(params, dummy).block_until_ready()
+
+    sampler = FrameSampler("uniform", NUM_FRAMES)
+
+    # Overlap host decode with device compute: decode thread feeds a queue.
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=4)
+
+    def producer():
+        batch = []
+        for p in paths:
+            clip = decode_frames(p, sampler(str(p), 96), resize_to=(CROP, CROP))
+            batch.append(clip)
+            if len(batch) == BATCH:
+                q.put(np.stack(batch))
+                batch = []
+        if batch:
+            while len(batch) < BATCH:
+                batch.append(batch[-1])
+            q.put(np.stack(batch))
+        q.put(None)
+
+    t0 = time.perf_counter()
+    th = threading.Thread(target=producer, daemon=True)
+    th.start()
+    n_clips = 0
+    out = None
+    while True:
+        item = q.get()
+        if item is None:
+            break
+        out = forward(params, jnp.asarray(item))
+        n_clips += BATCH
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+    return len(paths) / dt  # count real videos, not pad duplicates
+
+
+def bench_torch_reference(paths) -> float:
+    """The reference pipeline: cv2 decode -> VivitImageProcessor per batch ->
+    torch ViViT forward (vivit_transformer/.../trainers/trainer.py:62-104)."""
+    import numpy as np
+    import torch
+    from transformers import VivitConfig as HFConfig
+    from transformers import VivitForVideoClassification as HFModel
+    from transformers import VivitImageProcessor
+
+    from laryngeal_tpu.data.samplers import FrameSampler
+    from laryngeal_tpu.data.video import decode_frames
+
+    cfg = HFConfig(num_frames=NUM_FRAMES, num_labels=2)
+    model = HFModel(cfg).eval()
+    proc = VivitImageProcessor()
+    sampler = FrameSampler("uniform", NUM_FRAMES)
+
+    n = min(len(paths), 8)  # torch-CPU is slow; extrapolate from 8 clips
+    t0 = time.perf_counter()
+    with torch.no_grad():
+        batch = []
+        done = 0
+        for p in paths[:n]:
+            clip = decode_frames(p, sampler(str(p), 96), resize_to=(CROP, CROP))
+            batch.append(clip)
+            if len(batch) == 4 or done + len(batch) == n:
+                inputs = proc([list(c) for c in batch], return_tensors="pt")
+                model(**inputs)
+                done += len(batch)
+                batch = []
+    dt = time.perf_counter() - t0
+    return n / dt
+
+
+def get_baseline(paths) -> float:
+    if BASELINE_CACHE.exists():
+        return json.loads(BASELINE_CACHE.read_text())["torch_cpu_clips_per_sec"]
+    v = bench_torch_reference(paths)
+    BASELINE_CACHE.write_text(json.dumps(
+        {"torch_cpu_clips_per_sec": v,
+         "note": "PyTorch reference pipeline (HF processor + ViViT-B fwd) on "
+                 "CPU — no GPU in this image; measured once and cached"}))
+    return v
+
+
+def main():
+    paths = ensure_videos()
+    value = bench_tpu(paths)
+    try:
+        baseline = get_baseline(paths)
+        vs = value / baseline if baseline > 0 else None
+    except Exception:
+        vs = None
+    print(json.dumps({
+        "metric": "clips/sec/chip (ViViT-B, 32x224^2) end-to-end decode->logits",
+        "value": round(value, 3),
+        "unit": "clips/sec/chip",
+        "vs_baseline": round(vs, 2) if vs else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

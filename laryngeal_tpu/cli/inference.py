@@ -1,0 +1,108 @@
+"""Inference CLI — single-video and batch modes.
+
+Parity surface: ``vivit_transformer/inference.py`` (single video -> JSON
+result with predicted class/confidence, ``save_inference_result`` schema at
+:225-248) and ``resnet50-2d-lstm/inference.py:250-351`` (directory batch mode
+with CSV summary). The forward path is ONE jitted graph: uint8 frames ->
+preprocess -> backbone -> probabilities.
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import json
+from datetime import datetime
+from pathlib import Path
+
+
+def build_parser(model_default=None) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="TPU-native laryngeal video inference")
+    p.add_argument("--model", type=str, default=model_default,
+                   choices=["vivit", "timesformer", "resnet3d", "resnet50_lstm", "swin3d"],
+                   required=model_default is None)
+    p.add_argument("--video_path", type=str, default=None)
+    p.add_argument("--video_dir", type=str, default=None,
+                   help="Batch mode over a directory tree of .mp4s")
+    p.add_argument("--model_path", "--checkpoint_path", dest="model_path",
+                   type=str, required=True, help="Checkpoint dir (orbax) from training")
+    p.add_argument("--log_dir", type=str, default="logs")
+    p.add_argument("--num_frames", type=int, default=None)
+    p.add_argument("--sampling_method", type=str, default="uniform",
+                   choices=["uniform", "random", "random_window"])
+    p.add_argument("--num_classes", type=int, default=2)
+    p.add_argument("--model_size", type=str, default="tiny")
+    p.add_argument("--hidden_size", type=int, default=256)
+    p.add_argument("--num_layers", type=int, default=2)
+    p.add_argument("--crop_size", type=int, default=224)
+    p.add_argument("--image_size", type=int, default=None)
+    p.add_argument("--batch_size", type=int, default=4)
+    p.add_argument("--save_viz", action="store_true")
+    return p
+
+
+def main(argv=None, model_default=None):
+    args = build_parser(model_default).parse_args(argv)
+    if not args.video_path and not args.video_dir:
+        raise SystemExit("one of --video_path / --video_dir is required")
+
+    from ..infer.predictor import Predictor
+    from ..utils.logger import ExperimentLogger
+
+    exp_logger = ExperimentLogger(args.log_dir, prefix=f"{args.model}-inference")
+    logger = exp_logger.get_logger()
+    exp_dir = exp_logger.get_experiment_dir()
+
+    predictor = Predictor.from_checkpoint(
+        model_name=args.model,
+        checkpoint_path=args.model_path,
+        num_frames=args.num_frames,
+        sampling_method=args.sampling_method,
+        num_classes=args.num_classes,
+        crop_size=args.crop_size,
+        image_size=args.image_size,
+        model_size=args.model_size,
+        hidden_size=args.hidden_size,
+        num_layers=args.num_layers,
+        logger=logger,
+    )
+
+    results_dir = exp_dir / "inference_results"
+    results_dir.mkdir(parents=True, exist_ok=True)
+
+    if args.video_path:
+        result = predictor.predict_video(args.video_path)
+        out = results_dir / f"{Path(args.video_path).stem}_result.json"
+        with open(out, "w") as f:
+            json.dump(result, f, indent=4)
+        logger.info("Result: %s (confidence %.4f) -> %s",
+                    result["predicted_class"], result["confidence"], out)
+        print(json.dumps(result, indent=2))
+        return result
+
+    # Batch mode (2d-lstm inference.py:250-351): walk the tree, CSV + JSON.
+    videos = sorted(Path(args.video_dir).rglob("*.mp4"))
+    logger.info("Batch inference over %d videos", len(videos))
+    results = [predictor.predict_video(str(v)) for v in videos]
+    csv_path = results_dir / "batch_results.csv"
+    with open(csv_path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["video_path", "predicted_class", "confidence", "prob_referral"])
+        for r in results:
+            w.writerow([r["video_path"], r["predicted_class"],
+                        f"{r['confidence']:.6f}",
+                        f"{r['probabilities'].get('referral', 0.0):.6f}"])
+    summary = {
+        "total": len(results),
+        "predicted_referral": sum(r["predicted_class"] == "referral" for r in results),
+        "timestamp": datetime.now().isoformat(),
+    }
+    with open(results_dir / "batch_summary.json", "w") as f:
+        json.dump({"summary": summary, "results": results}, f, indent=4)
+    logger.info("Batch results -> %s", csv_path)
+    print(json.dumps(summary, indent=2))
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,226 @@
+"""Training CLI — preserves the reference main.py flag surface for all five
+pipelines behind one entry point.
+
+Reference commands map directly, e.g.::
+
+    python vivit_transformer/main.py --data_dir D --train_sampling uniform ...
+ -> python -m laryngeal_tpu.cli.main --model vivit --data_dir D --train_sampling uniform ...
+
+(thin per-variant wrappers under the reference directory names are provided
+at the repo root so the original commands also work unchanged).
+
+Flag parity sources: vivit_transformer/main.py:16-64,
+resnet50-2d-lstm/main.py:21-64, resnet50-3d-video/main.py, timesformer/
+main.py, videoswintransformer/main.py:41-45. TPU-specific additions:
+--mesh_data (data-parallel device count), --crop_size, --bf16.
+"""
+
+from __future__ import annotations
+
+import argparse
+import random
+import sys
+
+import numpy as np
+
+
+def build_parser(model_default: str = None) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="TPU-native laryngeal video classifier training")
+    p.add_argument("--model", type=str, default=model_default,
+                   choices=["vivit", "timesformer", "resnet3d", "resnet50_lstm", "swin3d"],
+                   required=model_default is None)
+    # Data.
+    p.add_argument("--data_dir", type=str, required=True)
+    p.add_argument("--test_data_dir", "--test_dir", dest="test_data_dir",
+                   type=str, default=None)
+    p.add_argument("--log_dir", type=str, default="logs")
+    p.add_argument("--model_dir", type=str, default=None,
+                   help="Directory for best-model checkpoints (default: experiment dir)")
+    p.add_argument("--train_sampling", type=str, default="uniform",
+                   choices=["uniform", "random", "random_window"])
+    p.add_argument("--val_sampling", type=str, default="uniform",
+                   choices=["uniform", "random", "random_window"])
+    p.add_argument("--test_sampling", type=str, default="uniform",
+                   choices=["uniform", "random", "random_window"])
+    p.add_argument("--num_frames", "--sequence_length", dest="num_frames",
+                   type=int, default=None)
+    # Model.
+    p.add_argument("--model_name", type=str, default=None,
+                   help="Pretrained id (informational; weights load via --torch_weights)")
+    p.add_argument("--num_classes", type=int, default=2)
+    p.add_argument("--model_size", type=str, default="tiny",
+                   help="swin3d size: tiny|small|base|base_in22k")
+    p.add_argument("--pretrained", action="store_true", default=True)
+    p.add_argument("--torch_weights", type=str, default=None,
+                   help="Path to a torch state_dict (.pth/.npz) to convert and load")
+    p.add_argument("--hidden_size", type=int, default=256)
+    p.add_argument("--num_layers", type=int, default=2)
+    p.add_argument("--dropout", type=float, default=0.5)
+    # Training.
+    p.add_argument("--batch_size", type=int, default=4)
+    p.add_argument("--num_workers", type=int, default=2,
+                   help="Accepted for CLI parity; the TPU pipeline uses a "
+                        "prefetch thread instead of worker processes")
+    p.add_argument("--epochs", type=int, default=40)
+    p.add_argument("--learning_rate", type=float, default=None)
+    p.add_argument("--weight_decay", type=float, default=None)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--patience", type=int, default=7)
+    p.add_argument("--early_stopping_delta", type=float, default=0.001)
+    p.add_argument("--loss_weight", type=float, default=0.3)
+    p.add_argument("--acc_threshold", type=float, default=0.02)
+    p.add_argument("--weighted_sampling", action="store_true",
+                   help="Parsed-but-unused in the reference "
+                        "(resnet50-3d-video/main.py:57); accepted for parity")
+    p.add_argument("--skip_train", action="store_true")
+    p.add_argument("--checkpoint_path", type=str, default=None)
+    # TPU-native extras.
+    p.add_argument("--mesh_data", type=int, default=None,
+                   help="Data-parallel device count (default: all devices)")
+    p.add_argument("--crop_size", type=int, default=224)
+    p.add_argument("--bf16", action="store_true", help="bfloat16 compute")
+    p.add_argument("--no_cache_clips", action="store_true")
+    p.add_argument("--image_size", type=int, default=None,
+                   help="Model input size (defaults to crop_size)")
+    return p
+
+
+def run(args) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from ..data.pipeline import create_dataloaders
+    from ..evals.evaluator import Evaluator
+    from ..models.registry import create_model, get_model_spec
+    from ..parallel.mesh import make_mesh
+    from ..train.checkpoint import load_checkpoint
+    from ..train.trainer import Trainer
+    from ..utils.logger import ExperimentLogger
+    from ..utils.tracking import Tracker
+
+    spec = get_model_spec(args.model)
+    num_frames = args.num_frames or spec.default_num_frames
+    image_size = args.image_size or args.crop_size
+
+    random.seed(args.seed)
+    np.random.seed(args.seed)
+
+    exp_logger = ExperimentLogger(args.log_dir, prefix=f"{args.model}-classifier")
+    logger = exp_logger.get_logger()
+    exp_dir = exp_logger.get_experiment_dir()
+    logger.info("Arguments: %s", vars(args))
+    logger.info("JAX devices: %s", jax.devices())
+
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    model_kwargs = dict(num_classes=args.num_classes, dtype=dtype)
+    if args.model in ("vivit", "timesformer"):
+        model_kwargs.update(num_frames=num_frames, image_size=image_size)
+    if args.model == "swin3d":
+        model_kwargs.update(model_size=args.model_size)
+    if args.model == "resnet50_lstm":
+        model_kwargs.update(hidden_size=args.hidden_size,
+                            num_layers=args.num_layers, dropout=args.dropout)
+    model = create_model(args.model, **model_kwargs)
+
+    loaders = create_dataloaders(
+        args.data_dir,
+        test_data_dir=args.test_data_dir,
+        sampling_methods={"train": args.train_sampling, "val": args.val_sampling,
+                          "test": args.test_sampling},
+        num_frames=num_frames,
+        batch_size=args.batch_size,
+        seed=args.seed,
+        label_policy=spec.label_policy,
+        per_video_seed=spec.per_video_seed,
+        resize_to=(args.crop_size, args.crop_size) if args.crop_size != 224 else (224, 224),
+        pad_last=True,
+        cache_clips=not args.no_cache_clips,
+    )
+    for split in ("train", "val", "test"):
+        ds = loaders[split].dataset
+        logger.info("%s: %d videos %s", split, len(ds), ds.class_counts)
+
+    mesh = None
+    if args.mesh_data is None and jax.device_count() > 1:
+        from ..parallel.mesh import auto_mesh
+
+        mesh = auto_mesh(args.batch_size)
+    elif args.mesh_data and args.mesh_data > 1:
+        if args.batch_size % args.mesh_data != 0:
+            raise SystemExit(
+                f"--batch_size {args.batch_size} must be divisible by "
+                f"--mesh_data {args.mesh_data}")
+        mesh = make_mesh(n_data=args.mesh_data)
+    if mesh is not None:
+        logger.info("Data-parallel mesh: %s devices", mesh.devices.size)
+
+    config = {
+        "data_dir": args.data_dir, "test_dir": args.test_data_dir or args.data_dir,
+        "train_sampling": args.train_sampling, "val_sampling": args.val_sampling,
+        "test_sampling": args.test_sampling, "num_frames": num_frames,
+        "batch_size": args.batch_size, "epochs": args.epochs,
+        "learning_rate": args.learning_rate or spec.default_lr,
+        "weight_decay": (args.weight_decay if args.weight_decay is not None
+                         else spec.default_weight_decay),
+        "patience": args.patience, "early_stopping_delta": args.early_stopping_delta,
+        "loss_weight": args.loss_weight, "acc_threshold": args.acc_threshold,
+        "seed": args.seed, "crop_size": args.crop_size,
+        "use_early_stopping": spec.name != "swin3d",  # swin trainer never
+        # invokes early stopping in the reference (SURVEY.md §2.3)
+    }
+    tracker = Tracker(config=config, out_dir=exp_dir, run_name=exp_dir.name)
+
+    from ..utils.visualization import TrainingVisualizer
+
+    visualizer = TrainingVisualizer(exp_logger.get_visualization_dir())
+    # Startup sampling visualizations — up to 3 videos per split
+    # (vivit_transformer/main.py:101-137).
+    try:
+        for split in ("train", "val", "test"):
+            ds = loaders[split].dataset
+            for i in range(min(3, len(ds))):
+                item = ds[i]
+                total = ds.video_properties(item["video_path"])[0]
+                visualizer.visualize_sampling(
+                    item["video_path"], item["frame_indices"], total,
+                    ds.sampling_method, frames=item["pixel_values"],
+                )
+    except Exception as e:
+        logger.warning("Sampling visualization failed: %s", e)
+
+    trainer = Trainer(model, spec, loaders, config, logger=logger,
+                      exp_dir=exp_dir, mesh=mesh, tracker=tracker,
+                      visualizer=visualizer)
+
+    if args.torch_weights:
+        from ..compat.loading import load_torch_weights_into_state
+
+        trainer.state = load_torch_weights_into_state(
+            trainer.state, args.model, args.torch_weights, logger)
+
+    if args.checkpoint_path:
+        logger.info("Loading checkpoint %s", args.checkpoint_path)
+        trainer.state = load_checkpoint(args.checkpoint_path, trainer.state)["state"]
+
+    if not args.skip_train:
+        trainer.train()
+
+    evaluator = Evaluator(
+        trainer.eval_step, loaders["test"],
+        class_names=loaders["test"].dataset.class_labels or ["non_referral", "referral"],
+        logger=logger, exp_dir=exp_dir, mesh=mesh, visualizer=visualizer,
+    )
+    auroc, f1, cm = evaluator.evaluate(trainer.state, sampling_method=args.test_sampling)
+    logger.info("Final test — AUROC %.4f F1 %.4f", auroc, f1)
+    tracker.finish()
+    return {"auroc": auroc, "f1": f1, "cm": cm, "exp_dir": str(exp_dir),
+            "history": trainer.history}
+
+
+def main(argv=None, model_default=None):
+    args = build_parser(model_default).parse_args(argv)
+    return run(args)
+
+
+if __name__ == "__main__":
+    main()

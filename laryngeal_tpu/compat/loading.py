@@ -1,0 +1,52 @@
+"""Load converted torch weights into a TrainState (gated on availability)."""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+
+
+def load_torch_state_dict(path):
+    """Load a torch .pth/.pt (if torch importable) or .npz state dict."""
+    path = str(path)
+    if path.endswith(".npz"):
+        return dict(np.load(path))
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(obj, dict) and "model_state_dict" in obj:
+        obj = obj["model_state_dict"]  # reference checkpoint dicts
+    if isinstance(obj, dict) and "state_dict" in obj:
+        obj = obj["state_dict"]
+    # Strip DataParallel prefixes (reference inference loaders tolerate both,
+    # resnet50-3d-video/inference.py:55-60).
+    return {k[len("module."):] if k.startswith("module.") else k: v
+            for k, v in obj.items()}
+
+
+def load_torch_weights_into_state(state, model_name: str, path, logger=None) -> Any:
+    """Convert a torch checkpoint for `model_name` and install it in `state`."""
+    from . import torch_port as tp
+
+    sd = load_torch_state_dict(path)
+    n_layers = len({k.split(".")[3] for k in sd if ".encoder.layer." in k}) or 12
+    if model_name == "vivit":
+        params = tp.port_vivit(sd, num_layers=n_layers)
+        new = {"params": params}
+    elif model_name == "timesformer":
+        params = tp.port_timesformer(sd, num_layers=n_layers)
+        new = {"params": params}
+    elif model_name == "resnet50_lstm":
+        new = tp.port_resnet50_lstm(sd)
+    else:
+        raise NotImplementedError(
+            f"torch weight conversion for {model_name!r} not yet wired")
+    if logger:
+        logger.info("Loaded torch weights from %s (%d tensors)", path, len(sd))
+    import jax
+
+    state = state.replace(params=jax.tree.map(lambda x: x, new["params"]))
+    if "batch_stats" in new:
+        state = state.replace(batch_stats=new["batch_stats"])
+    return state

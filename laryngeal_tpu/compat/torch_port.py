@@ -120,3 +120,77 @@ def port_timesformer(state: Mapping, num_layers: int = 12) -> Dict:
             "layernorm_after": layernorm(state, f"{p}.layernorm_after"),
         }
     return params
+
+
+def batchnorm(state: Mapping, prefix: str):
+    """-> (params {scale,bias}, stats {mean,var})."""
+    params = {"scale": _np(state, f"{prefix}.weight"), "bias": _np(state, f"{prefix}.bias")}
+    stats = {"mean": _np(state, f"{prefix}.running_mean"), "var": _np(state, f"{prefix}.running_var")}
+    return params, stats
+
+
+def _conv_nd(state: Mapping, prefix: str) -> Dict:
+    w = _np(state, f"{prefix}.weight")
+    if w.ndim == 4:
+        return {"kernel": w.transpose(2, 3, 1, 0)}
+    return {"kernel": w.transpose(2, 3, 4, 1, 0)}
+
+
+def port_resnet50_trunk(state: Mapping, prefix: str = "", sequential: bool = False):
+    """torchvision resnet50 trunk -> (params, batch_stats) for models.resnet.ResNet50.
+
+    sequential=True maps the reference's ``nn.Sequential(*children[:-1])``
+    key layout (resnet50.0=conv1, .1=bn1, .4-.7=layer1-4;
+    resnet50-2d-lstm/src/models/model.py:11-13); otherwise plain torchvision
+    names (conv1, bn1, layer1..4).
+    """
+    if sequential:
+        name_conv1, name_bn1 = f"{prefix}0", f"{prefix}1"
+        layer_names = [f"{prefix}{i}" for i in (4, 5, 6, 7)]
+    else:
+        name_conv1, name_bn1 = f"{prefix}conv1", f"{prefix}bn1"
+        layer_names = [f"{prefix}layer{i}" for i in (1, 2, 3, 4)]
+
+    params: Dict = {"conv1": _conv_nd(state, name_conv1)}
+    stats: Dict = {}
+    params["bn1"], stats["bn1"] = batchnorm(state, name_bn1)
+
+    stage_sizes = (3, 4, 6, 3)
+    for stage, (lname, blocks) in enumerate(zip(layer_names, stage_sizes)):
+        for i in range(blocks):
+            p = f"{lname}.{i}"
+            bp: Dict = {}
+            bs: Dict = {}
+            for j in (1, 2, 3):
+                bp[f"conv{j}"] = _conv_nd(state, f"{p}.conv{j}")
+                bp[f"bn{j}"], bs[f"bn{j}"] = batchnorm(state, f"{p}.bn{j}")
+            if f"{p}.downsample.0.weight" in state:
+                bp["downsample_conv"] = _conv_nd(state, f"{p}.downsample.0")
+                bp["downsample_bn"], bs["downsample_bn"] = batchnorm(state, f"{p}.downsample.1")
+            key = f"layer{stage + 1}_{i}"
+            params[key] = bp
+            stats[key] = bs
+    return params, stats
+
+
+def port_lstm(state: Mapping, prefix: str, num_layers: int) -> Dict:
+    """torch nn.LSTM -> models.resnet.LSTM params (same (i,f,g,o) gate order)."""
+    out: Dict = {}
+    for k in range(num_layers):
+        out[f"w_ih_l{k}"] = _np(state, f"{prefix}.weight_ih_l{k}").T
+        out[f"w_hh_l{k}"] = _np(state, f"{prefix}.weight_hh_l{k}").T
+        out[f"b_ih_l{k}"] = _np(state, f"{prefix}.bias_ih_l{k}")
+        out[f"b_hh_l{k}"] = _np(state, f"{prefix}.bias_hh_l{k}")
+    return out
+
+
+def port_resnet50_lstm(state: Mapping, num_layers: int = 2):
+    """Reference VideoResNet50LSTM state_dict -> {'params':..., 'batch_stats':...}."""
+    trunk_params, trunk_stats = port_resnet50_trunk(state, prefix="resnet50.", sequential=True)
+    params = {
+        "resnet50": trunk_params,
+        "lstm": port_lstm(state, "lstm", num_layers),
+        "fc1": linear(state, "classifier.0"),
+        "fc2": linear(state, "classifier.3"),
+    }
+    return {"params": params, "batch_stats": {"resnet50": trunk_stats}}

@@ -1,0 +1,102 @@
+"""Evaluator — test-set metrics + JSON/plot outputs.
+
+Parity: ``vivit_transformer/vivit_classifier/evaluators/evaluator.py:122-255``
+(returns ``(auroc, f1, confusion_matrix)``, writes
+``test_metrics_{sampling}.json``, renders CM/ROC/dashboard plots).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Dict, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..train.steps import prepare_batch
+from . import metrics as M
+
+
+def _jsonable(obj):
+    if isinstance(obj, np.ndarray):
+        return obj.tolist()
+    if isinstance(obj, dict):
+        return {k: _jsonable(v) for k, v in obj.items()}
+    if isinstance(obj, (np.floating, np.integer)):
+        return obj.item()
+    if isinstance(obj, (list, tuple)):
+        return [_jsonable(v) for v in obj]
+    return obj
+
+
+class Evaluator:
+    def __init__(
+        self,
+        eval_step,
+        loader,
+        class_names: Sequence[str] = ("non_referral", "referral"),
+        logger=None,
+        exp_dir=None,
+        visualizer=None,
+        mesh=None,
+    ):
+        import logging
+
+        self.eval_step = eval_step
+        self.loader = loader
+        self.class_names = list(class_names)
+        self.logger = logger or logging.getLogger(__name__)
+        self.exp_dir = Path(exp_dir) if exp_dir else None
+        self.visualizer = visualizer
+        self.mesh = mesh
+
+    def evaluate(self, state, sampling_method: str = "uniform") -> Tuple[float, float, np.ndarray]:
+        probs_all, labels_all, paths = [], [], []
+        losses = []
+        for batch in self.loader:
+            pixel, labels, mask = prepare_batch(batch, self.mesh)
+            m = self.eval_step(state, pixel, labels, mask)
+            valid = np.asarray(batch["mask"])
+            probs_all.append(np.asarray(m["probs"])[valid])
+            labels_all.append(np.asarray(batch["labels"])[valid])
+            losses.append(float(m["loss"]))
+            paths.extend(np.asarray(batch["video_paths"])[valid].tolist())
+
+        probs = np.concatenate(probs_all) if probs_all else np.zeros((0, 2))
+        labels = np.concatenate(labels_all) if labels_all else np.zeros((0,), int)
+        preds = probs.argmax(axis=-1) if probs.size else np.zeros((0,), int)
+
+        metrics = M.compute_all_metrics(labels, preds, probs, self.class_names)
+        metrics["test_loss"] = float(np.mean(losses)) if losses else 0.0
+
+        for k in ("accuracy", "f1_score", "precision", "recall", "auroc"):
+            self.logger.info("%s: %.4f", k, metrics.get(k, 0.0))
+
+        if self.exp_dir is not None:
+            out = self.exp_dir / f"test_metrics_{sampling_method}.json"
+            payload = {k: _jsonable(v) for k, v in metrics.items()}
+            payload["per_video"] = [
+                {"video_path": p, "label": int(l), "pred": int(pr),
+                 "prob_referral": float(pb[1])}
+                for p, l, pr, pb in zip(paths, labels, preds, probs)
+            ]
+            with open(out, "w") as f:
+                json.dump(payload, f, indent=4)
+            self.logger.info("Saved test metrics to %s", out)
+
+        if self.visualizer is not None:
+            try:
+                self.visualizer.plot_confusion_matrix(
+                    metrics.get("confusion_matrix", np.zeros((2, 2))), self.class_names
+                )
+                if "roc_curve" in metrics:
+                    self.visualizer.plot_roc_curve(metrics)
+                self.visualizer.plot_evaluation_metrics(metrics, self.class_names)
+            except Exception as e:
+                self.logger.warning("Evaluation plots failed: %s", e)
+
+        return (
+            metrics.get("auroc", 0.0),
+            metrics.get("f1_score", 0.0),
+            metrics.get("confusion_matrix", np.array([])),
+        )

@@ -1,0 +1,125 @@
+"""Predictor — single jitted decode->preprocess->backbone->probs graph.
+
+Replaces the reference's five inference.py stacks (HF shape
+``vivit_transformer/inference.py:31-320``, CNN shape
+``resnet50-3d-video/inference.py:356-423``): checkpoint load, sampling-index
+re-derivation, frame extraction, forward, softmax/sigmoid, JSON result.
+Decode stays on host; everything from uint8 frames onward is one XLA graph
+reused across videos (static clip shape => compiled once).
+"""
+
+from __future__ import annotations
+
+import logging
+from datetime import datetime
+from pathlib import Path
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.samplers import FrameSampler
+from ..data.video import decode_frames, get_video_properties
+from ..models.registry import create_model, get_model_spec
+from ..preprocess.transforms import batch_preprocess
+from ..train.losses import probs_fn
+from ..train.state import create_train_state
+from ..train.checkpoint import load_checkpoint
+
+DEFAULT_CLASSES = ["non_referral", "referral"]
+
+
+class Predictor:
+    def __init__(self, model, spec, state, class_labels=None,
+                 num_frames: int = 32, sampling_method: str = "uniform",
+                 crop_size: int = 224, logger=None):
+        self.model = model
+        self.spec = spec
+        self.state = state
+        self.class_labels = list(class_labels or DEFAULT_CLASSES)
+        self.num_frames = num_frames
+        self.sampling_method = sampling_method
+        self.crop_size = crop_size
+        self.logger = logger or logging.getLogger(__name__)
+        self.sampler = FrameSampler(
+            sampling_method, num_frames, per_video_seed=spec.per_video_seed
+        )
+        get_probs = probs_fn(spec.loss)
+        regime = spec.preprocess_regime
+
+        def forward(params, batch_stats, pixel_u8):
+            clips = batch_preprocess(pixel_u8, regime, train=False, crop=crop_size)
+            variables = {"params": params}
+            if batch_stats:
+                variables["batch_stats"] = batch_stats
+            logits = model.apply(variables, clips, train=False)
+            return get_probs(logits)
+
+        self._forward = jax.jit(forward)
+
+    @classmethod
+    def from_checkpoint(cls, model_name: str, checkpoint_path,
+                        num_frames: Optional[int] = None,
+                        sampling_method: str = "uniform",
+                        num_classes: int = 2, crop_size: int = 224,
+                        image_size: Optional[int] = None,
+                        model_size: str = "tiny", hidden_size: int = 256,
+                        num_layers: int = 2, logger=None) -> "Predictor":
+        spec = get_model_spec(model_name)
+        num_frames = num_frames or spec.default_num_frames
+        image_size = image_size or crop_size
+        kwargs = dict(num_classes=num_classes)
+        if model_name in ("vivit", "timesformer"):
+            kwargs.update(num_frames=num_frames, image_size=image_size)
+        if model_name == "swin3d":
+            kwargs.update(model_size=model_size)
+        if model_name == "resnet50_lstm":
+            kwargs.update(hidden_size=hidden_size, num_layers=num_layers)
+        model = create_model(model_name, **kwargs)
+
+        template = create_train_state(
+            model, jax.random.PRNGKey(0),
+            jnp.zeros((1, num_frames, crop_size, crop_size, 3), jnp.float32),
+            optimizer=spec.optimizer, learning_rate=spec.default_lr,
+            weight_decay=spec.default_weight_decay,
+            trainable_mask_fn=None,
+        )
+        restored = load_checkpoint(checkpoint_path, template)
+        class_labels = restored["class_labels"] or DEFAULT_CLASSES
+        return cls(model, spec, restored["state"], class_labels,
+                   num_frames, sampling_method, crop_size, logger)
+
+    def extract_clip(self, video_path) -> np.ndarray:
+        total_frames, *_ = get_video_properties(video_path)
+        indices = self.sampler(str(video_path), total_frames)
+        return decode_frames(video_path, indices,
+                             resize_to=(self.crop_size, self.crop_size))
+
+    def predict_clip(self, clip_u8: np.ndarray) -> np.ndarray:
+        """(T,H,W,C) or (B,T,H,W,C) uint8 -> (B, num_classes) probabilities."""
+        if clip_u8.ndim == 4:
+            clip_u8 = clip_u8[None]
+        probs = self._forward(self.state.params, self.state.batch_stats,
+                              jnp.asarray(clip_u8))
+        return np.asarray(probs)
+
+    def predict_video(self, video_path) -> Dict:
+        clip = self.extract_clip(video_path)
+        probs = self.predict_clip(clip)[0]
+        pred = int(np.argmax(probs))
+        class_name = (self.class_labels[pred]
+                      if pred < len(self.class_labels) else str(pred))
+        # Result schema: vivit_transformer/inference.py:225-248.
+        return {
+            "video_path": str(video_path),
+            "predicted_class": class_name,
+            "class_id": pred,
+            "confidence": float(probs[pred]),
+            "probabilities": {c: float(probs[i])
+                              for i, c in enumerate(self.class_labels)},
+            "class_mapping": {str(i): c for i, c in enumerate(self.class_labels)},
+            "sampling_method": self.sampling_method,
+            "num_frames": self.num_frames,
+            "timestamp": datetime.now().isoformat(),
+        }

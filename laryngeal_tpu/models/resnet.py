@@ -1,0 +1,173 @@
+"""ResNet50 (2D) backbone + LSTM video classifier (Flax).
+
+Parity target: ``resnet50-2d-lstm/src/models/model.py:10-59`` —
+torchvision ResNet50 (ImageNet weights, fc stripped, frozen) -> per-frame
+2048-d features -> 2-layer LSTM(hidden 256, dropout 0.5 between layers) ->
+classifier Linear(256,64) -> ReLU -> Dropout(0.5) -> Linear(64,1).
+
+TPU-native notes:
+- frames fold into the batch: (B,T,H,W,C) -> (B*T,H,W,C) so every conv runs
+  as one large MXU-friendly batch; the LSTM is a ``lax.scan`` over T with one
+  fused (4H) gate matmul per step, gate order (i,f,g,o) matching torch for
+  mechanical weight porting.
+- BatchNorm uses running stats collections ('batch_stats'); the reference
+  freezes backbone *params* but still updates BN running stats in train mode
+  (model.train() with requires_grad=False) — we reproduce that: the train
+  step keeps batch_stats mutable while the optimizer masks backbone params.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+class Bottleneck(nn.Module):
+    """torchvision Bottleneck: 1x1 -> 3x3(stride) -> 1x1(x4) with BN+ReLU."""
+
+    features: int  # inner width
+    stride: int = 1
+    downsample: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        norm = lambda name: nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, name=name,
+        )
+        conv = lambda f, k, s, name, pad=0: nn.Conv(
+            f, (k, k), strides=(s, s), padding=[(pad, pad)] * 2, use_bias=False,
+            dtype=self.dtype, name=name,
+        )
+        identity = x
+        out = nn.relu(norm("bn1")(conv(self.features, 1, 1, "conv1")(x)))
+        out = nn.relu(norm("bn2")(conv(self.features, 3, self.stride, "conv2", pad=1)(out)))
+        out = norm("bn3")(conv(self.features * 4, 1, 1, "conv3")(out))
+        if self.downsample:
+            identity = norm("downsample_bn")(
+                conv(self.features * 4, 1, self.stride, "downsample_conv")(x)
+            )
+        return nn.relu(out + identity)
+
+
+class ResNet50(nn.Module):
+    """torchvision-layout ResNet50 trunk; returns pooled 2048-d features."""
+
+    stage_sizes: Sequence[int] = (3, 4, 6, 3)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
+                    use_bias=False, dtype=self.dtype, name="conv1")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype, name="bn1")(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+        widths = (64, 128, 256, 512)
+        for stage, (blocks, w) in enumerate(zip(self.stage_sizes, widths)):
+            for i in range(blocks):
+                stride = 2 if (stage > 0 and i == 0) else 1
+                x = Bottleneck(
+                    w, stride=stride, downsample=(i == 0), dtype=self.dtype,
+                    name=f"layer{stage + 1}_{i}",
+                )(x, train=train)
+        return jnp.mean(x, axis=(1, 2))  # global average pool -> (N, 2048)
+
+
+class LSTM(nn.Module):
+    """Multi-layer LSTM matching torch nn.LSTM semantics (batch_first).
+
+    One fused gate matmul per step; gates ordered (i, f, g, o) like torch so
+    ``weight_ih_l{k}`` converts by transpose alone.
+    """
+
+    hidden_size: int
+    num_layers: int = 2
+    dropout: float = 0.5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, t, _ = x.shape
+        h_dim = self.hidden_size
+        for layer in range(self.num_layers):
+            w_ih = self.param(f"w_ih_l{layer}",
+                              nn.initializers.uniform(scale=1.0 / jnp.sqrt(h_dim)),
+                              (x.shape[-1], 4 * h_dim), jnp.float32)
+            w_hh = self.param(f"w_hh_l{layer}",
+                              nn.initializers.uniform(scale=1.0 / jnp.sqrt(h_dim)),
+                              (h_dim, 4 * h_dim), jnp.float32)
+            b_ih = self.param(f"b_ih_l{layer}", nn.initializers.zeros,
+                              (4 * h_dim,), jnp.float32)
+            b_hh = self.param(f"b_hh_l{layer}", nn.initializers.zeros,
+                              (4 * h_dim,), jnp.float32)
+
+            x_gates = x.astype(self.dtype) @ w_ih.astype(self.dtype) + (b_ih + b_hh)
+
+            def step(carry, xg):
+                h, c = carry
+                gates = xg + h @ w_hh.astype(self.dtype)
+                i, f, g, o = jnp.split(gates, 4, axis=-1)
+                c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+                h = jax.nn.sigmoid(o) * jnp.tanh(c)
+                return (h, c), h
+
+            init = (jnp.zeros((b, h_dim), self.dtype), jnp.zeros((b, h_dim), self.dtype))
+            _, hs = jax.lax.scan(step, init, x_gates.transpose(1, 0, 2))
+            x = hs.transpose(1, 0, 2)  # (B, T, H)
+            if train and self.dropout > 0 and layer < self.num_layers - 1:
+                x = nn.Dropout(self.dropout, deterministic=False)(x)
+        return x
+
+
+@dataclasses.dataclass(frozen=True)
+class ResNetLSTMConfig:
+    hidden_size: int = 256
+    num_layers: int = 2
+    dropout: float = 0.5
+    dtype: Any = jnp.float32
+
+
+class VideoResNet50LSTM(nn.Module):
+    """pixel_values (B,T,H,W,C) float32 -> logit (B, 1) (BCE-with-logits head)."""
+
+    config: ResNetLSTMConfig = ResNetLSTMConfig()
+
+    @nn.compact
+    def __call__(self, pixel_values, train: bool = False):
+        cfg = self.config
+        b, t, h, w, c = pixel_values.shape
+        frames = pixel_values.reshape(b * t, h, w, c)
+        # Backbone BN stats update in train mode even though its params are
+        # frozen by the optimizer mask (reference behavior, see module doc).
+        feats = ResNet50(dtype=cfg.dtype, name="resnet50")(frames, train=train)
+        feats = feats.reshape(b, t, -1)
+        seq = LSTM(cfg.hidden_size, cfg.num_layers, cfg.dropout,
+                   dtype=cfg.dtype, name="lstm")(feats, train=train)
+        x = seq[:, -1]
+        x = nn.Dense(64, name="fc1")(x)
+        x = nn.relu(x)
+        if train and cfg.dropout > 0:
+            x = nn.Dropout(cfg.dropout, deterministic=False)(x)
+        return nn.Dense(1, name="fc2")(x).astype(jnp.float32)
+
+
+def create_resnet50_lstm(hidden_size: int = 256, num_layers: int = 2,
+                         dropout: float = 0.5, dtype=jnp.float32, **_) -> VideoResNet50LSTM:
+    return VideoResNet50LSTM(ResNetLSTMConfig(hidden_size, num_layers, dropout, dtype))
+
+
+def backbone_param_mask(params) -> Any:
+    """Pytree mask: True where trainable (reference freezes the ResNet trunk,
+    resnet50-2d-lstm/src/models/model.py:15-17)."""
+    import flax
+
+    flat = flax.traverse_util.flatten_dict(params)
+    mask = {k: not (k[0] == "resnet50") for k in flat}
+    return flax.traverse_util.unflatten_dict(mask)

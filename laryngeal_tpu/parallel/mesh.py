@@ -1,0 +1,82 @@
+"""Device mesh + sharding definitions.
+
+The reference has NO distributed support (single hardcoded ``cuda:1``,
+SURVEY.md §2.4). This module is its TPU-native replacement: a ``Mesh`` over
+('data', 'model') axes; batches shard on 'data', parameters replicate (the
+largest backbone here is Swin3D-B at ~88M params, so model-axis sharding is
+defined but defaults to size 1). Gradient all-reduce happens implicitly over
+ICI — GSPMD inserts the psum when a jitted step consumes a data-sharded batch
+with replicated params.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
+              devices=None) -> Mesh:
+    """Mesh over (data, model). Defaults to all devices on the data axis."""
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data is None:
+        n_data = len(devices) // n_model
+    if n_data * n_model > len(devices):
+        raise ValueError(
+            f"mesh {n_data}x{n_model} needs {n_data * n_model} devices, "
+            f"have {len(devices)}"
+        )
+    grid = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+
+
+def auto_mesh(batch_size: int, devices=None) -> Optional[Mesh]:
+    """Largest data-parallel mesh whose size divides `batch_size`.
+
+    Returns None when only one device would be used (single-chip path)."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = 1
+    for d in range(min(batch_size, len(devices)), 0, -1):
+        if batch_size % d == 0:
+            n = d
+            break
+    if n <= 1:
+        return None
+    return make_mesh(n_data=n, devices=devices[:n])
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading axis sharded across the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch: Dict) -> Dict:
+    """device_put array leaves of a host batch with batch-dim sharding.
+
+    The batch dimension must divide the data-axis size; use
+    ``ClipLoader(pad_last=True)`` with a mesh-multiple batch size.
+    """
+    sharding = batch_sharding(mesh)
+    out = {}
+    for k, v in batch.items():
+        if isinstance(v, np.ndarray):
+            out[k] = jax.device_put(v, sharding)
+        else:
+            out[k] = v
+    return out
+
+
+def replicate(mesh: Mesh, tree):
+    """Replicate a pytree (params / train state) across the mesh."""
+    sharding = replicated_sharding(mesh)
+    return jax.device_put(tree, sharding)

@@ -176,21 +176,32 @@ def batch_preprocess(
     regime: str,
     train: bool,
     key: Optional[Array] = None,
+    crop: int = 224,
 ) -> Array:
-    """Preprocess a batch (B,T,H,W,C) uint8 -> (B,T,224,224,C) float32.
+    """Preprocess a batch (B,T,H,W,C) uint8 -> (B,T,crop,crop,C) float32.
 
     regime: 'pytorchvideo' | 'vivit' | 'timesformer'.
     Train mode (pytorchvideo regime only) needs a PRNG key; per-sample keys
     are split so augmentation is independent across the batch, matching the
-    reference's per-video torchvision transforms.
+    reference's per-video torchvision transforms. ``crop`` scales the whole
+    geometry proportionally (224 in every reference config; smaller values
+    keep tests cheap).
     """
+    scale = lambda v: max(1, int(round(v * crop / 224)))
     if regime == "pytorchvideo":
         if train:
             if key is None:
                 raise ValueError("train-mode preprocessing requires a PRNG key")
             keys = jax.random.split(key, clips_u8.shape[0])
-            return jax.vmap(pytorchvideo_train)(clips_u8, keys)
-        return jax.vmap(pytorchvideo_eval)(clips_u8)
-    if regime in HF_PIXEL_FNS:
-        return jax.vmap(HF_PIXEL_FNS[regime])(clips_u8)
+            return jax.vmap(
+                lambda v, k: pytorchvideo_train(
+                    v, k, crop=crop, min_size=scale(256), max_size=scale(320))
+            )(clips_u8, keys)
+        return jax.vmap(
+            lambda v: pytorchvideo_eval(v, crop=crop, size=scale(256))
+        )(clips_u8)
+    if regime == "vivit":
+        return jax.vmap(lambda v: vivit_pixels(v, crop=crop, size=scale(256)))(clips_u8)
+    if regime == "timesformer":
+        return jax.vmap(lambda v: timesformer_pixels(v, crop=crop, size=crop))(clips_u8)
     raise ValueError(f"Unknown preprocessing regime {regime!r}")

@@ -1,0 +1,93 @@
+"""Checkpointing — Orbax for the train state, JSON sidecars for metadata.
+
+Reference checkpoint contract (``vivit_transformer/.../trainers/
+trainer.py:278-305`` and ``utils/early_stopping.py:42-56``): a dict with
+epoch, model state, optimizer state, loss/acc history, config, and
+id2label/label2id. The TPU equivalent stores the full TrainState pytree
+(params + opt_state + batch_stats + step) via Orbax and the JSON-able
+metadata alongside, enabling both best-model reload (the only thing the
+reference does) and true mid-training resume (which the reference saves the
+data for but never implements — SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from .state import TrainState
+
+
+def _state_pytree(state: TrainState) -> Dict:
+    return {
+        "step": state.step,
+        "params": state.params,
+        "opt_state": state.opt_state,
+        "batch_stats": state.batch_stats,
+    }
+
+
+def save_checkpoint(
+    path,
+    state: TrainState,
+    epoch: int = 0,
+    history: Optional[Dict] = None,
+    config: Optional[Dict] = None,
+    class_labels=None,
+) -> str:
+    """Write an Orbax checkpoint + metadata.json at `path` (a directory)."""
+    path = Path(path).absolute()
+    if path.exists():
+        import shutil
+
+        shutil.rmtree(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path / "state", _state_pytree(state))
+
+    class_labels = list(class_labels or [])
+    meta = {
+        "epoch": int(epoch),
+        "history": history or {},
+        "config": config or {},
+        "class_labels": class_labels,
+        "id2label": {str(i): c for i, c in enumerate(class_labels)},
+        "label2id": {c: i for i, c in enumerate(class_labels)},
+    }
+    with open(path / "metadata.json", "w") as f:
+        json.dump(meta, f, indent=4, default=str)
+    return str(path)
+
+
+def load_checkpoint(path, state_template: TrainState) -> Dict[str, Any]:
+    """Restore {state, epoch, history, config, class_labels} from `path`.
+
+    ``state_template`` provides the pytree structure/shapes (an initialized
+    TrainState from the same model/optimizer).
+    """
+    path = Path(path).absolute()
+    with ocp.StandardCheckpointer() as ckptr:
+        restored = ckptr.restore(
+            path / "state", _state_pytree(state_template)
+        )
+    state = state_template.replace(
+        step=restored["step"],
+        params=restored["params"],
+        opt_state=restored["opt_state"],
+        batch_stats=restored["batch_stats"],
+    )
+    meta_path = path / "metadata.json"
+    meta = json.loads(meta_path.read_text()) if meta_path.exists() else {}
+    return {
+        "state": state,
+        "epoch": meta.get("epoch", 0),
+        "history": meta.get("history", {}),
+        "config": meta.get("config", {}),
+        "class_labels": meta.get("class_labels", []),
+    }

@@ -1,0 +1,142 @@
+"""Jitted train / eval step factories.
+
+One XLA graph per step covering *preprocess -> forward -> loss -> backward ->
+optimizer*, replacing the reference's host-side per-batch HF-processor +
+``.to(device)`` + autograd sequence (``vivit_transformer/.../trainers/
+trainer.py:62-167``). Inputs arrive as uint8 (B,T,H,W,C) host batches; the
+augmentation RNG folds in the step counter so each step draws fresh noise
+while staying reproducible. HF regimes (vivit/timesformer) are deterministic
+at train time too — the reference applies the image processor, not random
+augmentation, in those pipelines.
+
+Data parallelism: the factories take an optional Mesh. Batches get
+data-axis sharding, the state is replicated; GSPMD inserts the gradient
+all-reduce over ICI. The same code runs single-chip when mesh is None.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..parallel.mesh import batch_sharding, replicate, replicated_sharding, shard_batch
+from ..preprocess.transforms import batch_preprocess
+from .losses import make_loss_fn, probs_fn
+from .state import TrainState
+
+
+def make_train_step(
+    model,
+    regime: str,
+    loss: str,
+    pos_weight: float = 1.0,
+    mesh=None,
+    crop: int = 224,
+) -> Callable:
+    """Returns train_step(state, pixel_u8, labels, mask, rng) -> (state, metrics)."""
+    loss_fn = make_loss_fn(loss, pos_weight)
+    get_probs = probs_fn(loss)
+
+    def step(state: TrainState, pixel_u8, labels, mask, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        aug_rng, dropout_rng = jax.random.split(rng)
+        clips = batch_preprocess(
+            pixel_u8, regime, train=(regime == "pytorchvideo"), key=aug_rng, crop=crop
+        )
+
+        has_bn = bool(state.batch_stats)
+
+        def loss_with_aux(params):
+            variables = {"params": params}
+            if has_bn:
+                variables["batch_stats"] = state.batch_stats
+                logits, updates = model.apply(
+                    variables, clips, train=True, mutable=["batch_stats"],
+                    rngs={"dropout": dropout_rng},
+                )
+                new_stats = updates["batch_stats"]
+            else:
+                logits = model.apply(
+                    variables, clips, train=True, rngs={"dropout": dropout_rng}
+                )
+                new_stats = state.batch_stats
+            return loss_fn(logits, labels, mask), (logits, new_stats)
+
+        (loss_val, (logits, new_stats)), grads = jax.value_and_grad(
+            loss_with_aux, has_aux=True
+        )(state.params)
+        new_state = state.apply_gradients(grads, new_batch_stats=new_stats)
+
+        probs = get_probs(logits)
+        preds = jnp.argmax(probs, axis=-1)
+        valid = mask.astype(jnp.float32)
+        correct = jnp.sum((preds == labels.astype(preds.dtype)) * valid)
+        metrics = {
+            "loss": loss_val,
+            "correct": correct,
+            "count": jnp.sum(valid),
+            "probs": probs,
+        }
+        return new_state, metrics
+
+    donate = (0,)
+    if mesh is None:
+        return jax.jit(step, donate_argnums=donate)
+    rep = replicated_sharding(mesh)
+    data = batch_sharding(mesh)
+    return jax.jit(
+        step,
+        donate_argnums=donate,
+        in_shardings=(rep, data, data, data, rep),
+        out_shardings=(rep, {"loss": rep, "correct": rep, "count": rep, "probs": data}),
+    )
+
+
+def make_eval_step(model, regime: str, loss: str, pos_weight: float = 1.0,
+                   mesh=None, crop: int = 224) -> Callable:
+    """Returns eval_step(state, pixel_u8, labels, mask) -> metrics (incl. probs)."""
+    loss_fn = make_loss_fn(loss, pos_weight)
+    get_probs = probs_fn(loss)
+
+    def step(state: TrainState, pixel_u8, labels, mask):
+        clips = batch_preprocess(pixel_u8, regime, train=False, crop=crop)
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        logits = model.apply(variables, clips, train=False)
+        loss_val = loss_fn(logits, labels, mask)
+        probs = get_probs(logits)
+        preds = jnp.argmax(probs, axis=-1)
+        valid = mask.astype(jnp.float32)
+        return {
+            "loss": loss_val,
+            "correct": jnp.sum((preds == labels.astype(preds.dtype)) * valid),
+            "count": jnp.sum(valid),
+            "probs": probs,
+        }
+
+    if mesh is None:
+        return jax.jit(step)
+    rep = replicated_sharding(mesh)
+    data = batch_sharding(mesh)
+    return jax.jit(
+        step,
+        in_shardings=(rep, data, data, data),
+        out_shardings={"loss": rep, "correct": rep, "count": rep, "probs": data},
+    )
+
+
+def prepare_batch(batch: Dict, mesh=None) -> Tuple:
+    """Host batch dict -> (pixel_u8, labels, mask) device arrays."""
+    if mesh is not None:
+        b = shard_batch(mesh, {k: batch[k] for k in ("pixel_values", "labels", "mask")})
+        return b["pixel_values"], b["labels"], b["mask"]
+    return (
+        jnp.asarray(batch["pixel_values"]),
+        jnp.asarray(batch["labels"]),
+        jnp.asarray(batch["mask"]),
+    )

@@ -1,0 +1,228 @@
+"""Trainer — the single epoch-loop framework behind all five pipelines.
+
+Replaces the reference's five near-identical ModelTrainer classes
+(vivit_transformer/.../trainers/trainer.py:106-307, resnet50-2d-lstm/src/
+trainer/trainer.py:124-398, resnet50-3d-video/.../trainers/trainer.py:72-160,
+...): per-epoch train/val phases with loss/accuracy/AUROC history, LR
+plateau scheduling (2d-lstm), the variant's model-selection policy,
+early stopping, checkpoint-on-best, wandb/JSONL tracking, history JSON, and
+best-model reload at the end.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from ..evals import metrics as M
+from ..models.registry import ModelSpec
+from .checkpoint import load_checkpoint, save_checkpoint
+from .losses import reference_pos_weight
+from .selection import EarlyStopping, ReduceLROnPlateau, make_selection
+from .state import TrainState, create_train_state, get_learning_rate, set_learning_rate
+from .steps import make_eval_step, make_train_step, prepare_batch
+
+
+class Trainer:
+    def __init__(
+        self,
+        model,
+        spec: ModelSpec,
+        loaders: Dict,
+        config: Dict,
+        logger=None,
+        exp_dir=None,
+        mesh=None,
+        tracker=None,
+        visualizer=None,
+        rng: Optional[jax.Array] = None,
+    ):
+        import logging
+
+        self.model = model
+        self.spec = spec
+        self.loaders = loaders
+        self.config = dict(config)
+        self.logger = logger or logging.getLogger(__name__)
+        self.exp_dir = Path(exp_dir) if exp_dir else Path("runs")
+        self.exp_dir.mkdir(parents=True, exist_ok=True)
+        self.mesh = mesh
+        self.tracker = tracker
+        self.visualizer = visualizer
+        self.rng = rng if rng is not None else jax.random.PRNGKey(config.get("seed", 42))
+
+        train_ds = loaders["train"].dataset
+        self.class_labels = train_ds.class_labels
+
+        # Class weighting (2d-lstm: BCE pos_weight from train distribution).
+        pos = int(sum(train_ds.labels))
+        neg = len(train_ds.labels) - pos
+        self.pos_weight = (
+            reference_pos_weight(pos, neg) if spec.loss == "bce_pos_weight" else 1.0
+        )
+        if spec.loss == "bce_pos_weight":
+            self.logger.info("BCE pos_weight = %.4f (pos=%d neg=%d)", self.pos_weight, pos, neg)
+
+        # State + steps.
+        sample = next(iter(loaders["val"]))
+        t, h, w, c = sample["pixel_values"].shape[1:]
+        init_rng, self.rng = jax.random.split(self.rng)
+        trainable_mask_fn = None
+        if spec.name == "resnet50_lstm":
+            from ..models.resnet import backbone_param_mask
+
+            trainable_mask_fn = backbone_param_mask
+        self.crop = int(config.get("crop_size", 224))
+        self.state = create_train_state(
+            model,
+            init_rng,
+            jax.numpy.zeros((1, t, self.crop, self.crop, c), jax.numpy.float32),
+            optimizer=spec.optimizer,
+            learning_rate=config.get("learning_rate", spec.default_lr),
+            weight_decay=config.get("weight_decay", spec.default_weight_decay),
+            trainable_mask_fn=trainable_mask_fn,
+        )
+        if mesh is not None:
+            from ..parallel.mesh import replicate
+
+            self.state = replicate(mesh, self.state)
+
+        self.train_step = make_train_step(
+            model, spec.preprocess_regime, spec.loss, self.pos_weight, mesh,
+            crop=self.crop,
+        )
+        self.eval_step = make_eval_step(
+            model, spec.preprocess_regime, spec.loss, self.pos_weight, mesh,
+            crop=self.crop,
+        )
+
+        # Policies.
+        self.selection = make_selection(
+            spec.selection,
+            loss_weight=config.get("loss_weight", 0.3),
+            acc_threshold=config.get("acc_threshold", 0.02),
+        )
+        self.early_stopping = EarlyStopping(
+            patience=config.get("patience", 7),
+            delta=config.get("early_stopping_delta", 0.0),
+        ) if config.get("use_early_stopping", True) else None
+        self.plateau = (
+            ReduceLROnPlateau(
+                lr=config.get("learning_rate", spec.default_lr),
+                mode="max", factor=0.5, patience=5,
+            )
+            if config.get("lr_plateau", spec.name == "resnet50_lstm")
+            else None
+        )
+
+        self.history: Dict = {
+            "train_loss": [], "val_loss": [],
+            "train_acc": [], "val_acc": [],
+            "train_auroc": [], "val_auroc": [],
+            "lr": [], "epoch_time": [],
+        }
+        self.best_path = self.exp_dir / "best_model"
+        self._save_config()
+
+    def _save_config(self):
+        cfg = {k: str(v) if isinstance(v, Path) else v for k, v in self.config.items()}
+        cfg["model"] = self.spec.name
+        with open(self.exp_dir / "training_config.json", "w") as f:
+            json.dump(cfg, f, indent=4, default=str)
+
+    def _run_epoch(self, split: str, train: bool) -> Dict:
+        losses, probs_all, labels_all = [], [], []
+        correct = 0.0
+        count = 0.0
+        for batch in self.loaders[split]:
+            pixel, labels, mask = prepare_batch(batch, self.mesh)
+            if train:
+                self.state, m = self.train_step(self.state, pixel, labels, mask, self.rng)
+            else:
+                m = self.eval_step(self.state, pixel, labels, mask)
+            losses.append(float(m["loss"]))
+            correct += float(m["correct"])
+            count += float(m["count"])
+            valid = np.asarray(batch["mask"])
+            probs_all.append(np.asarray(m["probs"])[valid])
+            labels_all.append(np.asarray(batch["labels"])[valid])
+        probs = np.concatenate(probs_all) if probs_all else np.zeros((0, 2))
+        labels = np.concatenate(labels_all) if labels_all else np.zeros((0,), int)
+        auroc = 0.0
+        if labels.size and np.unique(labels).size > 1:
+            auroc = M.roc_auc_score(labels, probs[:, 1])
+        return {
+            "loss": float(np.mean(losses)) if losses else 0.0,
+            "acc": correct / max(count, 1.0),
+            "auroc": auroc,
+        }
+
+    def train(self) -> TrainState:
+        epochs = int(self.config.get("epochs", 1))
+        best_epoch = -1
+        for epoch in range(epochs):
+            t0 = time.time()
+            tr = self._run_epoch("train", train=True)
+            va = self._run_epoch("val", train=False)
+            dt = time.time() - t0
+
+            lr = get_learning_rate(self.state)
+            if self.plateau is not None:
+                self.plateau.lr = lr
+                new_lr = self.plateau.step(va["auroc"])
+                if new_lr != lr:
+                    self.logger.info("ReduceLROnPlateau: lr %.2e -> %.2e", lr, new_lr)
+                    self.state = set_learning_rate(self.state, new_lr)
+                    lr = new_lr
+
+            for k, v in (("train_loss", tr["loss"]), ("val_loss", va["loss"]),
+                         ("train_acc", tr["acc"]), ("val_acc", va["acc"]),
+                         ("train_auroc", tr["auroc"]), ("val_auroc", va["auroc"]),
+                         ("lr", lr), ("epoch_time", dt)):
+                self.history[k].append(v)
+
+            self.logger.info(
+                "Epoch %d/%d — train loss %.4f acc %.4f auroc %.4f | "
+                "val loss %.4f acc %.4f auroc %.4f | lr %.2e | %.1fs",
+                epoch + 1, epochs, tr["loss"], tr["acc"], tr["auroc"],
+                va["loss"], va["acc"], va["auroc"], lr, dt,
+            )
+            if self.tracker is not None:
+                self.tracker.log(
+                    {"epoch": epoch + 1, **{f"train/{k}": v for k, v in tr.items()},
+                     **{f"val/{k}": v for k, v in va.items()}, "lr": lr},
+                    step=epoch + 1,
+                )
+
+            if self.selection(val_loss=va["loss"], val_auroc=va["auroc"], val_acc=va["acc"]):
+                best_epoch = epoch
+                save_checkpoint(
+                    self.best_path, self.state, epoch=epoch, history=self.history,
+                    config=self.config, class_labels=self.class_labels,
+                )
+                self.logger.info("Saved best model (epoch %d) to %s", epoch + 1, self.best_path)
+
+            if self.visualizer is not None:
+                try:
+                    self.visualizer.plot_training_history(self.history)
+                except Exception as e:  # visualization must never kill training
+                    self.logger.warning("Visualization failed: %s", e)
+
+            if self.early_stopping is not None:
+                self.early_stopping(va["loss"])
+                if self.early_stopping.should_stop:
+                    self.logger.info("Early stopping at epoch %d", epoch + 1)
+                    break
+
+        with open(self.exp_dir / "training_history.json", "w") as f:
+            json.dump(self.history, f, indent=4, default=float)
+
+        if best_epoch >= 0:
+            self.logger.info("Reloading best model from epoch %d", best_epoch + 1)
+            self.state = load_checkpoint(self.best_path, self.state)["state"]
+        return self.state
