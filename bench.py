@@ -64,14 +64,23 @@ def bench_tpu(paths) -> float:
         jax.random.PRNGKey(0), jnp.zeros((1, NUM_FRAMES, CROP, CROP, 3), jnp.float32)
     )["params"]
 
+    from laryngeal_tpu.preprocess.transforms import yuv420_to_rgb
+
     @jax.jit
-    def forward(params, clips_u8):
-        clips = batch_preprocess(clips_u8, "vivit", train=False)
+    def forward(params, clips_yuv):
+        # Wire format: I420 (1.5 B/px) — half the host->device bytes of
+        # RGB24; chroma expansion fuses into the preprocessing graph.
+        rgb = jax.vmap(lambda c: yuv420_to_rgb(c, CROP, CROP))(clips_yuv)
+        clips = batch_preprocess(rgb, "vivit", train=False)
         return jax.nn.softmax(model.apply({"params": params}, clips), axis=-1)
 
-    # Warmup / compile.
-    dummy = jnp.zeros((BATCH, NUM_FRAMES, CROP, CROP, 3), jnp.uint8)
-    forward(params, dummy).block_until_ready()
+    # Warmup / compile. Use *random* bytes: the axon relay's first large
+    # incompressible host->device transfer pays a one-time ~200s session
+    # warmup that a zeros batch does not trigger.
+    rng0 = np.random.default_rng(123)
+    dummy = jnp.asarray(rng0.integers(
+        0, 255, (BATCH, NUM_FRAMES, CROP * 3 // 2, CROP), dtype=np.uint8))
+    np.asarray(forward(params, dummy))
 
     sampler = FrameSampler("uniform", NUM_FRAMES)
 
@@ -81,18 +90,22 @@ def bench_tpu(paths) -> float:
 
     q: "queue.Queue" = queue.Queue(maxsize=4)
 
+    from laryngeal_tpu.data.video import rgb_to_yuv420
+
     def producer():
+        # device_put here so the h2d transfer overlaps both decode and the
+        # previous batch's forward (double-buffered via the queue bound).
         batch = []
         for p in paths:
             clip = decode_frames(p, sampler(str(p), 96), resize_to=(CROP, CROP))
-            batch.append(clip)
+            batch.append(rgb_to_yuv420(clip))
             if len(batch) == BATCH:
-                q.put(np.stack(batch))
+                q.put(jax.device_put(np.stack(batch)))
                 batch = []
         if batch:
             while len(batch) < BATCH:
                 batch.append(batch[-1])
-            q.put(np.stack(batch))
+            q.put(jax.device_put(np.stack(batch)))
         q.put(None)
 
     t0 = time.perf_counter()
@@ -104,9 +117,11 @@ def bench_tpu(paths) -> float:
         item = q.get()
         if item is None:
             break
-        out = forward(params, jnp.asarray(item))
+        out = forward(params, item)
         n_clips += BATCH
-    out.block_until_ready()
+    # Fetch to host: on the axon relay block_until_ready is not a reliable
+    # barrier, but a host transfer serializes behind all queued compute.
+    np.asarray(out)
     dt = time.perf_counter() - t0
     return len(paths) / dt  # count real videos, not pad duplicates
 

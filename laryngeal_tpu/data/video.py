@@ -75,6 +75,17 @@ def verify_video_integrity(path) -> bool:
         return False
 
 
+def rgb_to_yuv420(frames_rgb: np.ndarray) -> np.ndarray:
+    """RGB uint8 (T,H,W,3) -> I420 planar uint8 (T, H*3/2, W) via cv2.
+
+    The compact wire format for host->device clip transfers (half the bytes
+    of RGB24); expand on-device with preprocess.transforms.yuv420_to_rgb."""
+    _require_cv2()
+    return np.stack([
+        cv2.cvtColor(f, cv2.COLOR_RGB2YUV_I420) for f in frames_rgb
+    ])
+
+
 def decode_frames(
     path,
     indices: Sequence[int],

@@ -171,6 +171,31 @@ def timesformer_pixels(video_u8: Array, crop: int = 224, size: int = 224) -> Arr
 HF_PIXEL_FNS = {"vivit": vivit_pixels, "timesformer": timesformer_pixels}
 
 
+def yuv420_to_rgb(yuv: Array, height: int, width: int) -> Array:
+    """I420 planar uint8 (T, H*3/2, W) -> RGB float32 (T, H, W, 3), 0-255.
+
+    Host->device transfers ship the video's native 4:2:0 chroma (1.5 B/px,
+    half the bytes of RGB24); this expansion runs on-device and fuses into
+    the preprocessing graph. BT.601 video-range matrix with nearest-neighbor
+    chroma upsampling — matches OpenCV's COLOR_YUV2RGB_I420 to ~1/255.
+    """
+    t = yuv.shape[0]
+    h, w = height, width
+    y = yuv[:, :h, :].astype(jnp.float32)
+    u = yuv[:, h : h + h // 4, :].reshape(t, h // 2, w // 2).astype(jnp.float32)
+    v = yuv[:, h + h // 4 :, :].reshape(t, h // 2, w // 2).astype(jnp.float32)
+    # Nearest-neighbor chroma upsample.
+    u = jnp.repeat(jnp.repeat(u, 2, axis=1), 2, axis=2)
+    v = jnp.repeat(jnp.repeat(v, 2, axis=1), 2, axis=2)
+    yf = 1.164383 * (y - 16.0)
+    uf = u - 128.0
+    vf = v - 128.0
+    r = yf + 1.596027 * vf
+    g = yf - 0.391762 * uf - 0.812968 * vf
+    b = yf + 2.017232 * uf
+    return jnp.clip(jnp.stack([r, g, b], axis=-1), 0.0, 255.0)
+
+
 def batch_preprocess(
     clips_u8: Array,
     regime: str,

@@ -1,0 +1,73 @@
+"""Flash-attention kernel tests (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from laryngeal_tpu.ops.attention import attention_reference, dot_product_attention
+from laryngeal_tpu.ops.flash_attention import flash_attention
+
+
+def make_qkv(b=2, n=300, h=3, d=32, seed=0, dtype=jnp.float32):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 3)
+    shape = (b, n, h, d)
+    return tuple(jax.random.normal(k, shape, dtype) for k in ks)
+
+
+@pytest.mark.parametrize("n", [64, 300, 513])
+def test_flash_matches_reference(n):
+    q, k, v = make_qkv(n=n)
+    out = flash_attention(q, k, v, None, 128, 128)
+    ref = attention_reference(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+def test_flash_matches_jax_nn():
+    q, k, v = make_qkv(n=200, d=64)
+    out = flash_attention(q, k, v, None, 128, 128)
+    ref = jax.nn.dot_product_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+def test_flash_bf16():
+    q, k, v = make_qkv(n=256, dtype=jnp.bfloat16)
+    out = flash_attention(q, k, v, None, 128, 128)
+    ref = attention_reference(q.astype(jnp.float32), k.astype(jnp.float32),
+                              v.astype(jnp.float32))
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(out, dtype=np.float32),
+                               np.asarray(ref), atol=3e-2, rtol=3e-2)
+
+
+def test_flash_gradients_match_reference():
+    q, k, v = make_qkv(n=160, d=16)
+
+    def loss_flash(q, k, v):
+        return flash_attention(q, k, v, None, 128, 128).sum()
+
+    def loss_ref(q, k, v):
+        return attention_reference(q, k, v).sum()
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-3)
+
+
+def test_bias_falls_back_to_xla():
+    q, k, v = make_qkv(n=64, h=2, d=16)
+    bias = jax.random.normal(jax.random.PRNGKey(9), (2, 2, 64, 64))
+    with pytest.raises(NotImplementedError):
+        flash_attention(q, k, v, bias)
+    # Dispatcher handles the fallback transparently.
+    out = dot_product_attention(q, k, v, bias=bias, impl="pallas")
+    ref = attention_reference(q, k, v, bias=bias)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+def test_dispatcher_pallas_impl():
+    q, k, v = make_qkv(n=100, d=32)
+    out = dot_product_attention(q, k, v, impl="pallas")
+    ref = dot_product_attention(q, k, v, impl="xla")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
