@@ -194,3 +194,79 @@ def port_resnet50_lstm(state: Mapping, num_layers: int = 2):
         "fc2": linear(state, "classifier.3"),
     }
     return {"params": params, "batch_stats": {"resnet50": trunk_stats}}
+
+
+def _conv_bn(state: Mapping, prefix: str):
+    """ultralytics Conv (conv+bn+silu) -> our ConvBnSiLU params/stats."""
+    p = {"conv": _conv_nd(state, f"{prefix}.conv")}
+    p["bn"], s = batchnorm(state, f"{prefix}.bn")
+    return p, {"bn": s}
+
+
+def _c3(state: Mapping, prefix: str, n_inner: int):
+    params: Dict = {}
+    stats: Dict = {}
+    for name in ("cv1", "cv2", "cv3"):
+        params[name], stats[name] = _conv_bn(state, f"{prefix}.{name}")
+    for i in range(n_inner):
+        bp: Dict = {}
+        bs: Dict = {}
+        bp["cv1"], bs["cv1"] = _conv_bn(state, f"{prefix}.m.{i}.cv1")
+        bp["cv2"], bs["cv2"] = _conv_bn(state, f"{prefix}.m.{i}.cv2")
+        params[f"m{i}"] = bp
+        stats[f"m{i}"] = bs
+    return params, stats
+
+
+def port_yolov5(state: Mapping, size: str = "s", num_classes: int = 1):
+    """ultralytics yolov5 state_dict (model.{i}.* naming, v6.x layout) ->
+    {'params', 'batch_stats'} for models.yolov5.YoloV5."""
+    import math as _math
+
+    from ..models.yolov5 import MULTIPLES
+
+    gd, _ = MULTIPLES[size]
+    d = lambda n: max(round(n * gd), 1)
+
+    # Strip common prefixes ("model.model." for DetectMultiBackend exports).
+    keys = list(state.keys())
+    prefix = ""
+    for cand in ("model.model.", "model."):
+        if any(k.startswith(cand + "0.") for k in keys):
+            prefix = cand
+            break
+
+    layer_map = [
+        ("b0", "conv", None), ("b1", "conv", None), ("b2", "c3", d(3)),
+        ("b3", "conv", None), ("b4", "c3", d(6)), ("b5", "conv", None),
+        ("b6", "c3", d(9)), ("b7", "conv", None), ("b8", "c3", d(3)),
+        ("b9", "sppf", None), ("h10", "conv", None), (None, None, None),
+        (None, None, None), ("h13", "c3", d(3)), ("h14", "conv", None),
+        (None, None, None), (None, None, None), ("h17", "c3", d(3)),
+        ("h18", "conv", None), (None, None, None), ("h20", "c3", d(3)),
+        ("h21", "conv", None), (None, None, None), ("h23", "c3", d(3)),
+    ]
+    params: Dict = {}
+    stats: Dict = {}
+    for idx, (name, kind, n_inner) in enumerate(layer_map):
+        if name is None:
+            continue
+        p = f"{prefix}{idx}"
+        if kind == "conv":
+            params[name], stats[name] = _conv_bn(state, p)
+        elif kind == "c3":
+            params[name], stats[name] = _c3(state, p, n_inner)
+        elif kind == "sppf":
+            sp: Dict = {}
+            ss: Dict = {}
+            sp["cv1"], ss["cv1"] = _conv_bn(state, f"{p}.cv1")
+            sp["cv2"], ss["cv2"] = _conv_bn(state, f"{p}.cv2")
+            params[name] = sp
+            stats[name] = ss
+    for li in range(3):
+        dp = f"{prefix}24.m.{li}"
+        params[f"detect{li}"] = {
+            "kernel": _np(state, f"{dp}.weight").transpose(2, 3, 1, 0),
+            "bias": _np(state, f"{dp}.bias"),
+        }
+    return {"params": params, "batch_stats": stats}
