@@ -90,15 +90,17 @@ def bench_tpu(paths) -> float:
 
     q: "queue.Queue" = queue.Queue(maxsize=4)
 
-    from laryngeal_tpu.data.video import rgb_to_yuv420
+    from laryngeal_tpu.data.native import decode_frames_auto
 
     def producer():
         # device_put here so the h2d transfer overlaps both decode and the
         # previous batch's forward (double-buffered via the queue bound).
+        # Native libav decode emits I420 planes directly (no BGR roundtrip).
         batch = []
         for p in paths:
-            clip = decode_frames(p, sampler(str(p), 96), resize_to=(CROP, CROP))
-            batch.append(rgb_to_yuv420(clip))
+            clip = decode_frames_auto(p, sampler(str(p), 96),
+                                      resize_to=(CROP, CROP), fmt="i420")
+            batch.append(clip)
             if len(batch) == BATCH:
                 q.put(jax.device_put(np.stack(batch)))
                 batch = []

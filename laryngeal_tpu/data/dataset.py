@@ -144,7 +144,9 @@ class VideoDataset:
             clip = self._clip_cache[key]
         else:
             try:
-                clip = decode_frames(path, indices, resize_to=self.resize_to)
+                from .native import decode_frames_auto
+
+                clip = decode_frames_auto(path, indices, resize_to=self.resize_to)
             except Exception as e:
                 logger.warning("Decode failed for %s: %s — placeholder clip", path, e)
                 hw = self.resize_to or (224, 224)

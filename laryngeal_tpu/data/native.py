@@ -1,0 +1,144 @@
+"""ctypes bindings for the native C++ clip decoder (native/cliploader.cpp).
+
+Loads ``native/libcliploader.so`` (building it with make on first use when a
+toolchain is present) and exposes the same decode surface as
+``data.video.decode_frames`` plus a direct-I420 mode that skips colorspace
+conversion entirely for the YUV wire format. Falls back cleanly: callers
+should check :func:`available` or use :func:`decode_frames_auto`.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import subprocess
+from pathlib import Path
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+NATIVE_DIR = Path(__file__).resolve().parent.parent.parent / "native"
+LIB_PATH = NATIVE_DIR / "libcliploader.so"
+
+_lib = None
+_tried = False
+
+
+def _load():
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not LIB_PATH.exists() and (NATIVE_DIR / "Makefile").exists():
+        try:
+            subprocess.run(["make", "-C", str(NATIVE_DIR)], check=True,
+                           capture_output=True, timeout=120)
+        except Exception as e:  # no toolchain / headers
+            logger.info("native cliploader build failed: %s", e)
+            return None
+    if not LIB_PATH.exists():
+        return None
+    try:
+        lib = ctypes.CDLL(str(LIB_PATH))
+    except OSError as e:
+        logger.info("native cliploader load failed: %s", e)
+        return None
+    lib.video_props.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.video_props.restype = ctypes.c_int
+    lib.clip_decode.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.clip_decode.restype = ctypes.c_int
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def get_video_properties(path) -> Tuple[int, float, float, int, int]:
+    """(total_frames, fps, duration, width, height) via libavformat."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native cliploader unavailable")
+    total = ctypes.c_int()
+    fps = ctypes.c_double()
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    rc = lib.video_props(str(path).encode(), ctypes.byref(total),
+                         ctypes.byref(fps), ctypes.byref(w), ctypes.byref(h))
+    if rc != 0:
+        raise ValueError(f"Could not open video ({rc}): {path}")
+    f = fps.value if fps.value > 0 else 30.0
+    return total.value, f, total.value / f, w.value, h.value
+
+
+def decode_frames(
+    path,
+    indices: Sequence[int],
+    resize_to: Optional[Tuple[int, int]] = None,
+    fmt: str = "rgb",
+) -> np.ndarray:
+    """Decode `indices` natively. fmt 'rgb' -> (N,H,W,3); 'i420' ->
+    (N, H*3/2, W) packed planes (cv2-I420 layout, even H/W required)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native cliploader unavailable")
+    idx = sorted(int(i) for i in indices)
+    if not idx:
+        raise ValueError("decode_frames requires at least one index")
+    if resize_to is not None:
+        out_w, out_h = resize_to
+    else:
+        _, _, _, out_w, out_h = get_video_properties(path)
+    if fmt == "i420" and (out_w % 2 or out_h % 2):
+        raise ValueError("i420 output needs even dimensions")
+
+    n = len(idx)
+    if fmt == "i420":
+        out = np.full((n, out_h * 3 // 2, out_w), 127, np.uint8)
+        code = 1
+    else:
+        out = np.full((n, out_h, out_w, 3), 127, np.uint8)
+        code = 0
+    c_idx = (ctypes.c_int * n)(*idx)
+    decoded = ctypes.c_int()
+    rc = lib.clip_decode(str(path).encode(), c_idx, n, out_w, out_h, code,
+                         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                         ctypes.byref(decoded))
+    if rc != 0:
+        raise ValueError(f"native decode failed ({rc}): {path}")
+    if decoded.value < n:
+        logger.warning("native decode: %d/%d frames decoded for %s "
+                       "(rest are gray placeholders)", decoded.value, n, path)
+    # Restore caller's requested order (duplicates included).
+    order = {v: i for i, v in enumerate(idx)}
+    sel = [order[int(i)] for i in sorted(int(i) for i in indices)]
+    if list(indices) != idx:
+        sel = [idx.index(int(i)) for i in indices]
+        out = out[sel]
+    return out
+
+
+def decode_frames_auto(path, indices, resize_to=None, fmt: str = "rgb") -> np.ndarray:
+    """Native decode when available, cv2 fallback otherwise (rgb only)."""
+    if available():
+        try:
+            return decode_frames(path, indices, resize_to, fmt)
+        except Exception as e:
+            logger.warning("native decode failed (%s); falling back to cv2", e)
+    from . import video as _video
+
+    rgb = _video.decode_frames(path, indices, resize_to=resize_to)
+    if fmt == "i420":
+        return _video.rgb_to_yuv420(rgb)
+    return rgb
