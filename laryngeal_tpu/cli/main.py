@@ -74,6 +74,11 @@ def build_parser(model_default: str = None) -> argparse.ArgumentParser:
                         "(resnet50-3d-video/main.py:57); accepted for parity")
     p.add_argument("--skip_train", action="store_true")
     p.add_argument("--checkpoint_path", type=str, default=None)
+    p.add_argument("--resume", type=str, default=None,
+                   help="Checkpoint dir to resume mid-training from "
+                        "(restores optimizer state + epoch counter)")
+    p.add_argument("--profile_dir", type=str, default=None,
+                   help="Write a jax.profiler trace of the first train epoch")
     # TPU-native extras.
     p.add_argument("--mesh_data", type=int, default=None,
                    help="Data-parallel device count (default: all devices)")
@@ -201,9 +206,14 @@ def run(args) -> dict:
     if args.checkpoint_path:
         logger.info("Loading checkpoint %s", args.checkpoint_path)
         trainer.state = load_checkpoint(args.checkpoint_path, trainer.state)["state"]
+    if args.resume:
+        trainer.resume(args.resume)
 
     if not args.skip_train:
-        trainer.train()
+        from ..utils.profiling import trace as profiler_trace
+
+        with profiler_trace(args.profile_dir):
+            trainer.train()
 
     evaluator = Evaluator(
         trainer.eval_step, loaders["test"],

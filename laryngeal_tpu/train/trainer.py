@@ -126,8 +126,32 @@ class Trainer:
             "train_auroc": [], "val_auroc": [],
             "lr": [], "epoch_time": [],
         }
+        self.start_epoch = 0
         self.best_path = self.exp_dir / "best_model"
         self._save_config()
+
+    def resume(self, checkpoint_path) -> int:
+        """True mid-training resume: restore the full TrainState (params,
+        optimizer moments, BN stats, step), history, and epoch counter. The
+        reference saves optimizer state but never reloads it (SURVEY.md §5 —
+        'no mid-training resume'); this closes that gap."""
+        restored = load_checkpoint(checkpoint_path, self.state)
+        self.state = restored["state"]
+        for k, v in restored["history"].items():
+            if k in self.history and isinstance(v, list):
+                self.history[k] = list(v)
+        self.start_epoch = int(restored["epoch"]) + 1
+        # Re-prime selection/early-stopping with the restored history.
+        for i, vl in enumerate(self.history.get("val_loss", [])):
+            self.selection(val_loss=vl,
+                           val_auroc=self.history["val_auroc"][i]
+                           if i < len(self.history.get("val_auroc", [])) else 0.0,
+                           val_acc=self.history["val_acc"][i]
+                           if i < len(self.history.get("val_acc", [])) else 0.0)
+            if self.early_stopping is not None:
+                self.early_stopping(vl)
+        self.logger.info("Resumed from %s at epoch %d", checkpoint_path, self.start_epoch)
+        return self.start_epoch
 
     def _save_config(self):
         cfg = {k: str(v) if isinstance(v, Path) else v for k, v in self.config.items()}
@@ -165,7 +189,7 @@ class Trainer:
     def train(self) -> TrainState:
         epochs = int(self.config.get("epochs", 1))
         best_epoch = -1
-        for epoch in range(epochs):
+        for epoch in range(self.start_epoch, epochs):
             t0 = time.time()
             tr = self._run_epoch("train", train=True)
             va = self._run_epoch("val", train=False)
