@@ -36,8 +36,13 @@ def make_train_step(
     pos_weight: float = 1.0,
     mesh=None,
     crop: int = 224,
+    tp: bool = False,
 ) -> Callable:
-    """Returns train_step(state, pixel_u8, labels, mask, rng) -> (state, metrics)."""
+    """Returns train_step(state, pixel_u8, labels, mask, rng) -> (state, metrics).
+
+    tp=True leaves the state's shardings unconstrained so tensor-parallel
+    (model-axis) param shardings applied via parallel.tp.shard_train_state
+    propagate through the step instead of being forced to replicate."""
     loss_fn = make_loss_fn(loss, pos_weight)
     get_probs = probs_fn(loss)
 
@@ -88,6 +93,9 @@ def make_train_step(
         return jax.jit(step, donate_argnums=donate)
     rep = replicated_sharding(mesh)
     data = batch_sharding(mesh)
+    if tp:
+        return jax.jit(step, donate_argnums=donate,
+                       in_shardings=(None, data, data, data, rep))
     return jax.jit(
         step,
         donate_argnums=donate,
@@ -97,7 +105,7 @@ def make_train_step(
 
 
 def make_eval_step(model, regime: str, loss: str, pos_weight: float = 1.0,
-                   mesh=None, crop: int = 224) -> Callable:
+                   mesh=None, crop: int = 224, tp: bool = False) -> Callable:
     """Returns eval_step(state, pixel_u8, labels, mask) -> metrics (incl. probs)."""
     loss_fn = make_loss_fn(loss, pos_weight)
     get_probs = probs_fn(loss)
@@ -123,6 +131,8 @@ def make_eval_step(model, regime: str, loss: str, pos_weight: float = 1.0,
         return jax.jit(step)
     rep = replicated_sharding(mesh)
     data = batch_sharding(mesh)
+    if tp:
+        return jax.jit(step, in_shardings=(None, data, data, data))
     return jax.jit(
         step,
         in_shardings=(rep, data, data, data),

@@ -1,0 +1,101 @@
+"""Tensor-parallel (model-axis) sharding tests on the virtual CPU mesh."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from laryngeal_tpu.models.registry import get_model_spec
+from laryngeal_tpu.models.vivit import VivitConfig, VivitForVideoClassification
+from laryngeal_tpu.parallel.mesh import MODEL_AXIS, make_mesh
+from laryngeal_tpu.parallel.tp import param_partition_specs, shard_train_state
+from laryngeal_tpu.train.state import create_train_state
+from laryngeal_tpu.train.steps import make_train_step, prepare_batch
+
+pytestmark = pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 devices")
+
+
+def tiny_state():
+    cfg = VivitConfig(hidden_size=32, num_layers=2, num_heads=2,
+                      intermediate_size=64, image_size=32, num_frames=4)
+    model = VivitForVideoClassification(cfg)
+    state = create_train_state(model, jax.random.PRNGKey(0),
+                               jnp.zeros((1, 4, 32, 32, 3)),
+                               optimizer="adamw", learning_rate=1e-3,
+                               weight_decay=0.01)
+    return model, state
+
+
+def test_partition_specs_follow_megatron_layout():
+    model, state = tiny_state()
+    mesh = make_mesh(n_data=4, n_model=2)
+    specs = param_partition_specs(state.params, mesh)
+    assert specs["layer_0"]["attention"]["query"]["kernel"] == P(None, MODEL_AXIS)
+    assert specs["layer_0"]["attention"]["out"]["kernel"] == P(MODEL_AXIS, None)
+    assert specs["layer_0"]["mlp"]["fc1"]["kernel"] == P(None, MODEL_AXIS)
+    assert specs["layer_0"]["mlp"]["fc2"]["kernel"] == P(MODEL_AXIS, None)
+    # Non-matching params replicate.
+    assert specs["embeddings"]["cls_token"] == P()
+    assert specs["classifier"]["kernel"] == P()
+    # Odd dims refuse to shard: num_classes=2 % 2 == 0 though; check a 1-dim.
+    assert specs["layer_0"]["mlp"]["fc2"]["bias"] == P()
+
+
+def test_tp_dp_train_step_runs_and_keeps_sharding():
+    model, state = tiny_state()
+    mesh = make_mesh(n_data=4, n_model=2)
+    state = shard_train_state(state, mesh)
+
+    fc1 = state.params["layer_0"]["mlp"]["fc1"]["kernel"]
+    assert fc1.sharding.spec == P(None, MODEL_AXIS)
+
+    spec = get_model_spec("vivit")
+    step = make_train_step(model, spec.preprocess_regime, spec.loss,
+                           mesh=mesh, crop=32, tp=True)
+    rng_np = np.random.default_rng(0)
+    batch = {
+        "pixel_values": rng_np.integers(0, 255, (8, 4, 48, 48, 3)).astype(np.uint8),
+        "labels": rng_np.integers(0, 2, 8).astype(np.int32),
+        "mask": np.ones(8, np.bool_),
+    }
+    pixel, labels, mask = prepare_batch(batch, mesh)
+    new_state, metrics = step(state, pixel, labels, mask, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    new_fc1 = new_state.params["layer_0"]["mlp"]["fc1"]["kernel"]
+    # Params stay model-axis sharded after the update (no silent gather).
+    assert MODEL_AXIS in jax.tree.leaves(
+        [ax for ax in new_fc1.sharding.spec if ax is not None]
+    )
+
+
+def test_tp_matches_replicated_numerics():
+    model, state = tiny_state()
+    mesh = make_mesh(n_data=4, n_model=2)
+    spec = get_model_spec("vivit")
+    rng_np = np.random.default_rng(1)
+    batch = {
+        "pixel_values": rng_np.integers(0, 255, (8, 4, 48, 48, 3)).astype(np.uint8),
+        "labels": rng_np.integers(0, 2, 8).astype(np.int32),
+        "mask": np.ones(8, np.bool_),
+    }
+
+    # Replicated (dp-only) run.
+    from laryngeal_tpu.parallel.mesh import make_mesh as mk, replicate
+
+    mesh_dp = mk(n_data=8)
+    state_dp = replicate(mesh_dp, state)
+    step_dp = make_train_step(model, spec.preprocess_regime, spec.loss,
+                              mesh=mesh_dp, crop=32)
+    pixel, labels, mask = prepare_batch(batch, mesh_dp)
+    _, m_dp = step_dp(state_dp, pixel, labels, mask, jax.random.PRNGKey(2))
+
+    # TP run with the same initial params.
+    _, state2 = tiny_state()
+    state_tp = shard_train_state(state2, mesh)
+    step_tp = make_train_step(model, spec.preprocess_regime, spec.loss,
+                              mesh=mesh, crop=32, tp=True)
+    pixel, labels, mask = prepare_batch(batch, mesh)
+    _, m_tp = step_tp(state_tp, pixel, labels, mask, jax.random.PRNGKey(2))
+
+    assert float(m_dp["loss"]) == pytest.approx(float(m_tp["loss"]), rel=1e-4)
