@@ -77,6 +77,20 @@ def main(argv=None, model_default=None):
             json.dump(result, f, indent=4)
         logger.info("Result: %s (confidence %.4f) -> %s",
                     result["predicted_class"], result["confidence"], out)
+        if args.save_viz:
+            # Sampled-frames grid (reference inference.py save_frame_visualization).
+            try:
+                from ..utils.visualization import TrainingVisualizer
+
+                clip = predictor.extract_clip(args.video_path)
+                viz = TrainingVisualizer(results_dir)
+                path = viz.visualize_sampling(
+                    args.video_path, result["frame_indices"],
+                    result["total_frames"], predictor.sampling_method,
+                    frames=clip)
+                logger.info("Frame visualization -> %s", path)
+            except Exception as e:
+                logger.warning("--save_viz failed: %s", e)
         print(json.dumps(result, indent=2))
         return result
 

@@ -72,6 +72,9 @@ def build_parser(model_default: str = None) -> argparse.ArgumentParser:
     p.add_argument("--weighted_sampling", action="store_true",
                    help="Parsed-but-unused in the reference "
                         "(resnet50-3d-video/main.py:57); accepted for parity")
+    p.add_argument("--eval_clips", type=int, default=1,
+                   help="Average test predictions over N sampled clips per "
+                        "video (clip-averaged eval; stochastic samplers only)")
     p.add_argument("--skip_train", action="store_true")
     p.add_argument("--checkpoint_path", type=str, default=None)
     p.add_argument("--resume", type=str, default=None,
@@ -220,7 +223,8 @@ def run(args) -> dict:
         class_names=loaders["test"].dataset.class_labels or ["non_referral", "referral"],
         logger=logger, exp_dir=exp_dir, mesh=mesh, visualizer=visualizer,
     )
-    auroc, f1, cm = evaluator.evaluate(trainer.state, sampling_method=args.test_sampling)
+    auroc, f1, cm = evaluator.evaluate(trainer.state, sampling_method=args.test_sampling,
+                                       eval_clips=args.eval_clips)
     logger.info("Final test — AUROC %.4f F1 %.4f", auroc, f1)
     tracker.finish()
     return {"auroc": auroc, "f1": f1, "cm": cm, "exp_dir": str(exp_dir),

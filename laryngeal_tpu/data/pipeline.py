@@ -63,17 +63,22 @@ class ClipLoader:
         pixel = np.stack([it["pixel_values"] for it in items])
         labels = np.asarray([it["label"] for it in items], dtype=np.int32)
         mask = np.ones(len(items), dtype=np.bool_)
+        paths = [it["video_path"] for it in items]
+        frame_indices = [it["frame_indices"] for it in items]
         if self.pad_last and len(items) < self.batch_size:
             pad = self.batch_size - len(items)
             pixel = np.concatenate([pixel, np.repeat(pixel[-1:], pad, axis=0)])
             labels = np.concatenate([labels, np.repeat(labels[-1:], pad)])
             mask = np.concatenate([mask, np.zeros(pad, dtype=np.bool_)])
+            # Keep list fields batch-length too (masked out downstream).
+            paths = paths + [paths[-1]] * pad
+            frame_indices = frame_indices + [frame_indices[-1]] * pad
         return {
             "pixel_values": pixel,
             "labels": labels,
             "mask": mask,
-            "video_paths": [it["video_path"] for it in items],
-            "frame_indices": [it["frame_indices"] for it in items],
+            "video_paths": paths,
+            "frame_indices": frame_indices,
         }
 
     def __iter__(self) -> Iterator[Dict]:

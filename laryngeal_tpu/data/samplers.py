@@ -174,6 +174,9 @@ class FrameSampler:
         self.seed = int(seed)
         self.per_video_seed = bool(per_video_seed)
         self.hash_fn = hash_fn
+        # Mixed into per-video seeds; lets multi-clip evaluation draw a
+        # distinct-but-deterministic clip per pass (salt = pass index).
+        self.salt = 0
         self._rng = random.Random(self.seed)
         self._cache: dict = {}
 
@@ -188,10 +191,10 @@ class FrameSampler:
 
     def __call__(self, video_path: str, total_frames: int) -> List[int]:
         if self.per_video_seed:
-            key = str(video_path)
+            key = (str(video_path), self.salt)
             if key in self._cache:
                 return self._cache[key]
-            rng = random.Random(self.video_seed(key))
+            rng = random.Random(self.video_seed(str(video_path)) + self.salt)
             indices = sample_indices(self.method, total_frames, self.num_frames, rng)
             self._cache[key] = indices
             return indices
@@ -199,5 +202,5 @@ class FrameSampler:
 
     @property
     def cached_indices(self) -> dict:
-        """Per-video index cache (populated only with per_video_seed=True)."""
-        return dict(self._cache)
+        """Per-video index cache for the current salt (per_video_seed mode)."""
+        return {k[0]: v for k, v in self._cache.items() if k[1] == self.salt}

@@ -50,9 +50,8 @@ class Evaluator:
         self.visualizer = visualizer
         self.mesh = mesh
 
-    def evaluate(self, state, sampling_method: str = "uniform") -> Tuple[float, float, np.ndarray]:
-        probs_all, labels_all, paths = [], [], []
-        losses = []
+    def _run_pass(self, state):
+        probs_all, labels_all, paths, losses = [], [], [], []
         for batch in self.loader:
             pixel, labels, mask = prepare_batch(batch, self.mesh)
             m = self.eval_step(state, pixel, labels, mask)
@@ -61,9 +60,41 @@ class Evaluator:
             labels_all.append(np.asarray(batch["labels"])[valid])
             losses.append(float(m["loss"]))
             paths.extend(np.asarray(batch["video_paths"])[valid].tolist())
-
         probs = np.concatenate(probs_all) if probs_all else np.zeros((0, 2))
         labels = np.concatenate(labels_all) if labels_all else np.zeros((0,), int)
+        return probs, labels, paths, losses
+
+    def evaluate(self, state, sampling_method: str = "uniform",
+                 eval_clips: int = 1) -> Tuple[float, float, np.ndarray]:
+        """eval_clips > 1 averages per-video probabilities over multiple
+        sampled clips (clip-averaged eval, the resnet3d evaluator's
+        prediction-mean over the clips axis,
+        resnet50-3d-video/.../evaluators/evaluator.py:289-302). Stochastic
+        samplers draw a fresh clip per pass; deterministic 'uniform' sampling
+        makes extra passes identical, so they are skipped."""
+        sampler = getattr(self.loader.dataset, "sampler", None)
+        passes = 1
+        if eval_clips > 1 and sampler is not None and sampler.method != "uniform":
+            passes = int(eval_clips)
+
+        probs_sum = None
+        labels = paths = None
+        losses = []
+        import random as _random
+
+        for p in range(passes):
+            if passes > 1:
+                # Fresh clips per pass: salt the per-video seeds / reseed the
+                # stream, and drop decoded-clip caches keyed by old indices.
+                sampler.salt = p
+                sampler._rng = _random.Random(sampler.seed + p)
+                self.loader.dataset._clip_cache.clear()
+            probs, labels, paths, pass_losses = self._run_pass(state)
+            losses.extend(pass_losses)
+            probs_sum = probs if probs_sum is None else probs_sum + probs
+        if passes > 1 and sampler is not None:
+            sampler.salt = 0
+        probs = probs_sum / passes if probs_sum is not None else np.zeros((0, 2))
         preds = probs.argmax(axis=-1) if probs.size else np.zeros((0,), int)
 
         metrics = M.compute_all_metrics(labels, preds, probs, self.class_names)

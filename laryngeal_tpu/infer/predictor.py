@@ -90,11 +90,15 @@ class Predictor:
         return cls(model, spec, restored["state"], class_labels,
                    num_frames, sampling_method, crop_size, logger)
 
-    def extract_clip(self, video_path) -> np.ndarray:
+    def extract_clip_with_indices(self, video_path):
         total_frames, *_ = get_video_properties(video_path)
         indices = self.sampler(str(video_path), total_frames)
-        return decode_frames(video_path, indices,
+        clip = decode_frames(video_path, indices,
                              resize_to=(self.crop_size, self.crop_size))
+        return clip, indices, total_frames
+
+    def extract_clip(self, video_path) -> np.ndarray:
+        return self.extract_clip_with_indices(video_path)[0]
 
     def predict_clip(self, clip_u8: np.ndarray) -> np.ndarray:
         """(T,H,W,C) or (B,T,H,W,C) uint8 -> (B, num_classes) probabilities."""
@@ -105,7 +109,7 @@ class Predictor:
         return np.asarray(probs)
 
     def predict_video(self, video_path) -> Dict:
-        clip = self.extract_clip(video_path)
+        clip, indices, total_frames = self.extract_clip_with_indices(video_path)
         probs = self.predict_clip(clip)[0]
         pred = int(np.argmax(probs))
         class_name = (self.class_labels[pred]
@@ -121,5 +125,7 @@ class Predictor:
             "class_mapping": {str(i): c for i, c in enumerate(self.class_labels)},
             "sampling_method": self.sampling_method,
             "num_frames": self.num_frames,
+            "frame_indices": list(indices),
+            "total_frames": int(total_frames),
             "timestamp": datetime.now().isoformat(),
         }
