@@ -57,17 +57,15 @@ def dot_product_attention(
     (used by Swin3D's relative position bias + shift masks).
     """
     impl = impl or get_attention_impl()
-    if impl == "pallas" and bias is None and q.shape[-1] <= 128:
-        try:
-            from .flash_attention import flash_attention
+    if impl == "pallas" and q.shape[-1] <= 128:
+        from .flash_attention import flash_attention
 
-            # Clamp blocks to the (128-aligned) sequence length so short
-            # sequences (TimeSformer N=197/T=32) don't pad to 512.
-            n = max(q.shape[1], k.shape[1])
-            block = min(512, -(-n // 128) * 128)
-            return flash_attention(q, k, v, None, block, block)
-        except NotImplementedError:
-            pass
+        # Clamp blocks to the (128-aligned) sequence length so short
+        # sequences (TimeSformer N=197/T=32, Swin windows N=392) don't pad
+        # out to 512.
+        n = max(q.shape[1], k.shape[1])
+        block = min(512, -(-n // 128) * 128)
+        return flash_attention(q, k, v, bias, block, block)
     return jax.nn.dot_product_attention(q, k, v, bias=bias)
 
 

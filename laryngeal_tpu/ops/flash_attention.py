@@ -70,6 +70,44 @@ def _attention_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, block_k, n_actual):
     o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
+def _attention_kernel_bias(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale,
+                           block_k, n_actual):
+    """Bias variant: additive logits bias (per batch*head) streams in K-blocks
+    alongside K/V — serves Swin3D's relative-position-bias + shift-mask
+    windowed attention."""
+    q = q_ref[0].astype(jnp.float32)
+    block_q, d = q.shape
+    n_pad = k_ref.shape[1]
+    num_kb = n_pad // block_k
+
+    m0 = jnp.full((block_q, 1), -1e30, jnp.float32)
+    l0 = jnp.zeros((block_q, 1), jnp.float32)
+    acc0 = jnp.zeros((block_q, d), jnp.float32)
+
+    def body(i, carry):
+        m, l, acc = carry
+        k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        s = s + bias_ref[0, :, pl.ds(i * block_k, block_k)].astype(jnp.float32)
+        col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+        s = jnp.where(col + i * block_k < n_actual, s, -1e30)
+
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_new = acc * alpha + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return m_new, l_new, acc_new
+
+    m, l, acc = jax.lax.fori_loop(0, num_kb, body, (m0, l0, acc0))
+    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
 def _pad_to(x, n, axis):
     pad = n - x.shape[axis]
     if pad <= 0:
@@ -93,8 +131,6 @@ def flash_attention(
 
 
 def _flash_forward(q, k, v, bias, block_q, block_k, interpret: Optional[bool] = None):
-    if bias is not None:
-        raise NotImplementedError("flash_attention does not support bias")
     b, n, h, d = q.shape
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -112,30 +148,47 @@ def _flash_forward(q, k, v, bias, block_q, block_k, interpret: Optional[bool] = 
     vb = _pad_to(vb, n_pad_k, 1)
 
     grid = (b * h, n_pad_q // block_q)
-    kernel = functools.partial(
-        _attention_kernel, scale=scale, block_k=block_k, n_actual=n
-    )
     mem = dict(memory_space=_VMEM) if (_VMEM is not None and not interpret) else {}
-    out = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda bh, qi: (bh, qi, 0), **mem),
-            pl.BlockSpec((1, n_pad_k, d), lambda bh, qi: (bh, 0, 0), **mem),
-            pl.BlockSpec((1, n_pad_k, d), lambda bh, qi: (bh, 0, 0), **mem),
-        ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda bh, qi: (bh, qi, 0), **mem),
-        out_shape=jax.ShapeDtypeStruct((b * h, n_pad_q, d), q.dtype),
-        interpret=interpret,
-    )(qb, kb, vb)
+    q_spec = pl.BlockSpec((1, block_q, d), lambda bh, qi: (bh, qi, 0), **mem)
+    kv_spec = pl.BlockSpec((1, n_pad_k, d), lambda bh, qi: (bh, 0, 0), **mem)
+    out_shape = jax.ShapeDtypeStruct((b * h, n_pad_q, d), q.dtype)
+
+    if bias is None:
+        kernel = functools.partial(
+            _attention_kernel, scale=scale, block_k=block_k, n_actual=n
+        )
+        out = pl.pallas_call(
+            kernel, grid=grid,
+            in_specs=[q_spec, kv_spec, kv_spec],
+            out_specs=q_spec, out_shape=out_shape, interpret=interpret,
+        )(qb, kb, vb)
+    else:
+        # Broadcast bias to (B*H, Nq_pad, Nk_pad); padded logits masked by
+        # n_actual inside the kernel, padded bias values are irrelevant.
+        bias4 = jnp.broadcast_to(bias.astype(q.dtype), (b, h, n, n))
+        bias3 = bias4.reshape(b * h, n, n)
+        bias3 = _pad_to(_pad_to(bias3, n_pad_q, 1), n_pad_k, 2)
+        bias_spec = pl.BlockSpec((1, block_q, n_pad_k),
+                                 lambda bh, qi: (bh, qi, 0), **mem)
+        kernel = functools.partial(
+            _attention_kernel_bias, scale=scale, block_k=block_k, n_actual=n
+        )
+        out = pl.pallas_call(
+            kernel, grid=grid,
+            in_specs=[q_spec, kv_spec, kv_spec, bias_spec],
+            out_specs=q_spec, out_shape=out_shape, interpret=interpret,
+        )(qb, kb, vb, bias3)
     out = out[:, :n].reshape(b, h, n, d).transpose(0, 2, 1, 3)
     return out
 
 
-def _reference(q, k, v):
+def _reference(q, k, v, bias=None):
     d = q.shape[-1]
     s = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32), k.astype(jnp.float32))
-    p = jax.nn.softmax(s / math.sqrt(d), axis=-1)
+    s = s / math.sqrt(d)
+    if bias is not None:
+        s = s + bias.astype(jnp.float32)
+    p = jax.nn.softmax(s, axis=-1)
     return jnp.einsum("bhqk,bkhd->bqhd", p, v.astype(jnp.float32)).astype(q.dtype)
 
 
@@ -145,8 +198,9 @@ def _fwd(q, k, v, bias, block_q, block_k):
 
 def _bwd(bias, block_q, block_k, res, g):
     # Recompute-through-XLA backward: exact gradients, no bwd kernel needed.
+    # bias is a non-differentiated argument but participates in the recompute.
     q, k, v = res
-    _, vjp = jax.vjp(_reference, q, k, v)
+    _, vjp = jax.vjp(lambda q, k, v: _reference(q, k, v, bias), q, k, v)
     dq, dk, dv = vjp(g)
     return dq, dk, dv
 

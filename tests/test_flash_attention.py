@@ -55,15 +55,36 @@ def test_flash_gradients_match_reference():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-3)
 
 
-def test_bias_falls_back_to_xla():
+def test_bias_supported_in_kernel():
     q, k, v = make_qkv(n=64, h=2, d=16)
     bias = jax.random.normal(jax.random.PRNGKey(9), (2, 2, 64, 64))
-    with pytest.raises(NotImplementedError):
-        flash_attention(q, k, v, bias)
-    # Dispatcher handles the fallback transparently.
-    out = dot_product_attention(q, k, v, bias=bias, impl="pallas")
+    out = flash_attention(q, k, v, bias, 128, 128)
     ref = attention_reference(q, k, v, bias=bias)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+    # Dispatcher route.
+    out2 = dot_product_attention(q, k, v, bias=bias, impl="pallas")
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+def test_bias_broadcast_and_padding():
+    # Head-broadcast bias (1, H, N, N) with N not a block multiple.
+    q, k, v = make_qkv(n=150, h=2, d=16)
+    bias = jax.random.normal(jax.random.PRNGKey(3), (1, 2, 150, 150))
+    out = flash_attention(q, k, v, bias, 128, 128)
+    ref = attention_reference(q, k, v, bias=bias)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+def test_bias_gradients():
+    q, k, v = make_qkv(n=96, h=2, d=16)
+    bias = jax.random.normal(jax.random.PRNGKey(5), (2, 2, 96, 96))
+
+    gf = jax.grad(lambda q, k, v: flash_attention(q, k, v, bias, 128, 128).sum(),
+                  argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(lambda q, k, v: attention_reference(q, k, v, bias=bias).sum(),
+                  argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-3)
 
 
 def test_dispatcher_pallas_impl():
