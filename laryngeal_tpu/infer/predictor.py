@@ -65,9 +65,22 @@ class Predictor:
                         num_classes: int = 2, crop_size: int = 224,
                         image_size: Optional[int] = None,
                         model_size: str = "tiny", hidden_size: int = 256,
-                        num_layers: int = 2, logger=None) -> "Predictor":
+                        num_layers: int = 2, logger=None,
+                        model_kwargs: Optional[Dict] = None) -> "Predictor":
         spec = get_model_spec(model_name)
-        num_frames = num_frames or spec.default_num_frames
+
+        # Checkpoint metadata may pin the exact architecture (written by
+        # scripts/port_weights.py); CLI args fill the gaps.
+        import json
+        from pathlib import Path as _Path
+
+        meta_path = _Path(checkpoint_path) / "metadata.json"
+        meta_cfg = {}
+        if meta_path.exists():
+            meta_cfg = json.loads(meta_path.read_text()).get("config", {})
+        saved_kwargs = dict(meta_cfg.get("model_kwargs", {}))
+
+        num_frames = num_frames or saved_kwargs.pop("num_frames", None) or spec.default_num_frames
         image_size = image_size or crop_size
         kwargs = dict(num_classes=num_classes)
         if model_name in ("vivit", "timesformer"):
@@ -76,6 +89,8 @@ class Predictor:
             kwargs.update(model_size=model_size)
         if model_name == "resnet50_lstm":
             kwargs.update(hidden_size=hidden_size, num_layers=num_layers)
+        kwargs.update(saved_kwargs)
+        kwargs.update(model_kwargs or {})
         model = create_model(model_name, **kwargs)
 
         template = create_train_state(
