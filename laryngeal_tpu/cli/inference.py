@@ -34,7 +34,8 @@ def build_parser(model_default=None) -> argparse.ArgumentParser:
     p.add_argument("--model_size", type=str, default="tiny")
     p.add_argument("--hidden_size", type=int, default=256)
     p.add_argument("--num_layers", type=int, default=2)
-    p.add_argument("--crop_size", type=int, default=224)
+    p.add_argument("--crop_size", type=int, default=None,
+                   help="Input resolution (default: checkpoint metadata, else 224)")
     p.add_argument("--image_size", type=int, default=None)
     p.add_argument("--batch_size", type=int, default=4)
     p.add_argument("--save_viz", action="store_true")

@@ -175,6 +175,9 @@ def run(args) -> dict:
         "seed": args.seed, "crop_size": args.crop_size,
         "use_early_stopping": spec.name != "swin3d",  # swin trainer never
         # invokes early stopping in the reference (SURVEY.md §2.3)
+        # Pin the architecture in checkpoint metadata so inference rebuilds
+        # the exact model without re-supplying flags.
+        "model_kwargs": {k: v for k, v in model_kwargs.items() if k != "dtype"},
     }
     tracker = Tracker(config=config, out_dir=exp_dir, run_name=exp_dir.name)
 

@@ -62,7 +62,7 @@ class Predictor:
     def from_checkpoint(cls, model_name: str, checkpoint_path,
                         num_frames: Optional[int] = None,
                         sampling_method: str = "uniform",
-                        num_classes: int = 2, crop_size: int = 224,
+                        num_classes: int = 2, crop_size: Optional[int] = None,
                         image_size: Optional[int] = None,
                         model_size: str = "tiny", hidden_size: int = 256,
                         num_layers: int = 2, logger=None,
@@ -70,21 +70,26 @@ class Predictor:
         spec = get_model_spec(model_name)
 
         # Checkpoint metadata may pin the exact architecture (written by
-        # scripts/port_weights.py); CLI args fill the gaps.
+        # scripts/port_weights.py and the training CLI); explicit caller
+        # arguments win, metadata fills the gaps, spec defaults last.
         import json
-        from pathlib import Path as _Path
 
-        meta_path = _Path(checkpoint_path) / "metadata.json"
+        meta_path = Path(checkpoint_path) / "metadata.json"
         meta_cfg = {}
         if meta_path.exists():
             meta_cfg = json.loads(meta_path.read_text()).get("config", {})
         saved_kwargs = dict(meta_cfg.get("model_kwargs", {}))
+        saved_num_frames = saved_kwargs.pop("num_frames", None)
+        saved_image = saved_kwargs.pop("image_size", None)
 
-        num_frames = num_frames or saved_kwargs.pop("num_frames", None) or spec.default_num_frames
-        image_size = image_size or crop_size
+        num_frames = num_frames or saved_num_frames or spec.default_num_frames
+        # One resolution drives the model config, the template input, AND the
+        # decode/preprocess crop — they must agree or patch counts mismatch.
+        resolution = crop_size or image_size or saved_image or 224
+
         kwargs = dict(num_classes=num_classes)
         if model_name in ("vivit", "timesformer"):
-            kwargs.update(num_frames=num_frames, image_size=image_size)
+            kwargs.update(num_frames=num_frames, image_size=resolution)
         if model_name == "swin3d":
             kwargs.update(model_size=model_size)
         if model_name == "resnet50_lstm":
@@ -95,7 +100,7 @@ class Predictor:
 
         template = create_train_state(
             model, jax.random.PRNGKey(0),
-            jnp.zeros((1, num_frames, crop_size, crop_size, 3), jnp.float32),
+            jnp.zeros((1, num_frames, resolution, resolution, 3), jnp.float32),
             optimizer=spec.optimizer, learning_rate=spec.default_lr,
             weight_decay=spec.default_weight_decay,
             trainable_mask_fn=None,
@@ -103,7 +108,7 @@ class Predictor:
         restored = load_checkpoint(checkpoint_path, template)
         class_labels = restored["class_labels"] or DEFAULT_CLASSES
         return cls(model, spec, restored["state"], class_labels,
-                   num_frames, sampling_method, crop_size, logger)
+                   num_frames, sampling_method, resolution, logger)
 
     def extract_clip_with_indices(self, video_path):
         total_frames, *_ = get_video_properties(video_path)

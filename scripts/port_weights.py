@@ -71,6 +71,14 @@ def main():
                       num_heads=args.num_heads or max(hidden // 64, 1),
                       intermediate_size=inter)
         print(f"Inferred architecture: {kwargs}")
+    elif args.model == "resnet50_lstm":
+        # Infer LSTM geometry from the checkpoint tensors.
+        hidden = int(sd["lstm.weight_ih_l0"].shape[0]) // 4
+        layers = 1 + max(int(k.rsplit("_l", 1)[1]) for k in sd
+                         if k.startswith("lstm.weight_ih_l"))
+        kwargs.update(hidden_size=hidden, num_layers=layers,
+                      num_frames=num_frames)
+        print(f"Inferred architecture: {kwargs}")
     model = create_model(args.model, **kwargs)
 
     image_size = kwargs.get("image_size", args.image_size)
