@@ -24,7 +24,11 @@ def _np(state: Mapping, key: str) -> np.ndarray:
     v = state[key]
     if hasattr(v, "detach"):
         v = v.detach().cpu().numpy()
-    return np.asarray(v)
+    # Copy: torch's .numpy() returns a VIEW of the tensor storage, and CPU
+    # jax can zero-copy alias numpy buffers — without the copy, later
+    # in-place torch optimizer updates would silently mutate the converted
+    # Flax params.
+    return np.array(v, copy=True)
 
 
 def linear(state: Mapping, prefix: str) -> Dict:
