@@ -32,13 +32,28 @@ def load_torch_weights_into_state(state, model_name: str, path, logger=None) -> 
     sd = load_torch_state_dict(path)
     n_layers = len({k.split(".")[3] for k in sd if ".encoder.layer." in k}) or 12
     if model_name == "vivit":
-        params = tp.port_vivit(sd, num_layers=n_layers)
-        new = {"params": params}
+        new = {"params": tp.port_vivit(sd, num_layers=n_layers)}
     elif model_name == "timesformer":
-        params = tp.port_timesformer(sd, num_layers=n_layers)
-        new = {"params": params}
+        new = {"params": tp.port_timesformer(sd, num_layers=n_layers)}
     elif model_name == "resnet50_lstm":
         new = tp.port_resnet50_lstm(sd)
+    elif model_name == "swin3d":
+        # Infer stage depths from the torchvision feature indices.
+        depths = []
+        for stage in range(4):
+            idxs = {int(k.split(".")[2]) for k in sd
+                    if k.startswith(f"features.{stage * 2}.")}
+            if idxs:
+                depths.append(1 + max(idxs))
+        new = {"params": tp.port_swin3d(sd, depths=tuple(depths))}
+    elif model_name == "resnet3d":
+        sizes = []
+        for stage in range(1, 5):
+            idxs = {int(k.split(".")[3]) for k in sd
+                    if k.startswith(f"blocks.{stage}.res_blocks.")}
+            if idxs:
+                sizes.append(1 + max(idxs))
+        new = tp.port_resnet3d(sd, stage_sizes=tuple(sizes))
     else:
         raise NotImplementedError(
             f"torch weight conversion for {model_name!r} not yet wired")

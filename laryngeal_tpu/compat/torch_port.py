@@ -274,3 +274,72 @@ def port_yolov5(state: Mapping, size: str = "s", num_classes: int = 1):
             "bias": _np(state, f"{dp}.bias"),
         }
     return {"params": params, "batch_stats": stats}
+
+
+def port_swin3d(state: Mapping, depths=(2, 2, 6, 2)):
+    """torchvision SwinTransformer3d state_dict -> Flax params for
+    models.swin3d.SwinTransformer3D (the swin3d_t/s/b weights the reference
+    fine-tunes, videoswintransformer/.../models/swin3d.py:7-53).
+
+    torchvision layout: patch_embed.{proj,norm}; features[0,2,4,6] = stages
+    (blocks: norm1, attn.{qkv,proj,relative_position_bias_table}, norm2,
+    mlp.{0,3}); features[1,3,5] = PatchMerging {reduction, norm}; final
+    norm + head.
+    """
+    params: Dict = {
+        "patch_embed_proj": conv3d(state, "patch_embed.proj"),
+        "patch_embed_norm": layernorm(state, "patch_embed.norm"),
+        "norm": layernorm(state, "norm"),
+        "head": linear(state, "head"),
+    }
+    for stage, depth in enumerate(depths):
+        feat = stage * 2
+        for i in range(depth):
+            p = f"features.{feat}.{i}"
+            params[f"stage{stage + 1}_block{i}"] = {
+                "norm1": layernorm(state, f"{p}.norm1"),
+                "attn": {
+                    "qkv": linear(state, f"{p}.attn.qkv"),
+                    "proj": linear(state, f"{p}.attn.proj"),
+                    "relative_position_bias_table": _np(
+                        state, f"{p}.attn.relative_position_bias_table"),
+                },
+                "norm2": layernorm(state, f"{p}.norm2"),
+                "mlp_fc1": linear(state, f"{p}.mlp.0"),
+                "mlp_fc2": linear(state, f"{p}.mlp.3"),
+            }
+        if stage < len(depths) - 1:
+            m = f"features.{feat + 1}"
+            params[f"merge{stage + 1}"] = {
+                "norm": layernorm(state, f"{m}.norm"),
+                "reduction": linear(state, f"{m}.reduction"),
+            }
+    return params
+
+
+def port_resnet3d(state: Mapping, stage_sizes=(3, 4, 6, 3)):
+    """pytorchvideo create_resnet state_dict -> {'params','batch_stats'} for
+    models.resnet3d.ResNet3D (resnet50-3d-video/.../models/resnet3d.py:4-49).
+
+    pytorchvideo layout: blocks.0 = stem {conv, norm}; blocks.1-4 = stages of
+    res_blocks with branch1_{conv,norm} shortcut and branch2
+    {conv,norm}_{a,b,c}; blocks.5 = head {proj}.
+    """
+    params: Dict = {"stem_conv": _conv_nd(state, "blocks.0.conv")}
+    stats: Dict = {}
+    params["stem_bn"], stats["stem_bn"] = batchnorm(state, "blocks.0.norm")
+    for stage, blocks in enumerate(stage_sizes):
+        for i in range(blocks):
+            p = f"blocks.{stage + 1}.res_blocks.{i}"
+            bp: Dict = {}
+            bs: Dict = {}
+            for br in ("a", "b", "c"):
+                bp[f"conv_{br}"] = _conv_nd(state, f"{p}.branch2.conv_{br}")
+                bp[f"bn_{br}"], bs[f"bn_{br}"] = batchnorm(state, f"{p}.branch2.norm_{br}")
+            if f"{p}.branch1_conv.weight" in state:
+                bp["shortcut_conv"] = _conv_nd(state, f"{p}.branch1_conv")
+                bp["shortcut_bn"], bs["shortcut_bn"] = batchnorm(state, f"{p}.branch1_norm")
+            params[f"stage{stage + 1}_{i}"] = bp
+            stats[f"stage{stage + 1}_{i}"] = bs
+    params["proj"] = linear(state, "blocks.5.proj")
+    return {"params": params, "batch_stats": stats}

@@ -70,7 +70,13 @@ class VideoDataset:
         self.num_frames = int(num_frames)
         self.sampling_method = sampling_method
         self.resize_to = resize_to
-        self.cache_clips = cache_clips
+        # Caching decoded clips only pays when the same indices recur:
+        # uniform sampling and per-video-seeded samplers are deterministic;
+        # stream-seeded stochastic samplers draw fresh indices every epoch,
+        # and caching those would grow host RAM without bound.
+        self.cache_clips = cache_clips and (
+            per_video_seed or sampling_method == "uniform"
+        )
         self._clip_cache: Dict = {}
         self._props_cache: Dict = {}
 

@@ -31,16 +31,21 @@ from .video import decode_frames, get_video_properties
 def sample_frame_indices(clip_len: int, frame_sample_rate: int,
                          seg_len: int, rng: Optional[random.Random] = None) -> np.ndarray:
     """Rate-based random clip sampling (data_handling.py:41-56):
-    pick a random end index, take clip_len indices spaced by sample rate."""
+    pick a random end index, take clip_len indices spaced by sample rate.
+
+    Deviation from the reference: for videos shorter than
+    ``clip_len * frame_sample_rate`` the reference produces negative start
+    indices (silently decoding the wrong frames); we clamp to [0, seg_len-1].
+    """
     rng = rng or random
     converted_len = int(clip_len * frame_sample_rate)
     if seg_len <= converted_len:
         end_idx = seg_len
     else:
         end_idx = rng.randint(converted_len, seg_len)
-    start_idx = end_idx - converted_len
+    start_idx = max(end_idx - converted_len, 0)
     indices = np.linspace(start_idx, end_idx, num=clip_len)
-    return np.clip(indices, start_idx, end_idx - 1).astype(np.int64)
+    return np.clip(indices, 0, seg_len - 1).astype(np.int64)
 
 
 def read_video_clip(video_path, indices, resize_to=(224, 224)) -> np.ndarray:

@@ -120,12 +120,10 @@ def decode_frames(
     if decoded.value < n:
         logger.warning("native decode: %d/%d frames decoded for %s "
                        "(rest are gray placeholders)", decoded.value, n, path)
-    # Restore caller's requested order (duplicates included).
-    order = {v: i for i, v in enumerate(idx)}
-    sel = [order[int(i)] for i in sorted(int(i) for i in indices)]
+    # Restore the caller's requested order (duplicates map to the first
+    # decoded copy, which the C side fills identically).
     if list(indices) != idx:
-        sel = [idx.index(int(i)) for i in indices]
-        out = out[sel]
+        out = out[[idx.index(int(i)) for i in indices]]
     return out
 
 

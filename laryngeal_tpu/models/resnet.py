@@ -96,17 +96,21 @@ class LSTM(nn.Module):
     def __call__(self, x, train: bool = False):
         b, t, _ = x.shape
         h_dim = self.hidden_size
+        bound = 1.0 / float(h_dim) ** 0.5
+
+        def torch_uniform(key, shape, dtype=jnp.float32):
+            # torch nn.LSTM initializes ALL params (weights and biases) from
+            # the symmetric U(-1/sqrt(H), 1/sqrt(H)); flax's uniform() is
+            # [0, scale) which would bias gates positive at init.
+            return jax.random.uniform(key, shape, dtype, -bound, bound)
+
         for layer in range(self.num_layers):
-            w_ih = self.param(f"w_ih_l{layer}",
-                              nn.initializers.uniform(scale=1.0 / jnp.sqrt(h_dim)),
-                              (x.shape[-1], 4 * h_dim), jnp.float32)
-            w_hh = self.param(f"w_hh_l{layer}",
-                              nn.initializers.uniform(scale=1.0 / jnp.sqrt(h_dim)),
-                              (h_dim, 4 * h_dim), jnp.float32)
-            b_ih = self.param(f"b_ih_l{layer}", nn.initializers.zeros,
-                              (4 * h_dim,), jnp.float32)
-            b_hh = self.param(f"b_hh_l{layer}", nn.initializers.zeros,
-                              (4 * h_dim,), jnp.float32)
+            w_ih = self.param(f"w_ih_l{layer}", torch_uniform,
+                              (x.shape[-1], 4 * h_dim))
+            w_hh = self.param(f"w_hh_l{layer}", torch_uniform,
+                              (h_dim, 4 * h_dim))
+            b_ih = self.param(f"b_ih_l{layer}", torch_uniform, (4 * h_dim,))
+            b_hh = self.param(f"b_hh_l{layer}", torch_uniform, (4 * h_dim,))
 
             x_gates = x.astype(self.dtype) @ w_ih.astype(self.dtype) + (b_ih + b_hh)
 

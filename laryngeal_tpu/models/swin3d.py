@@ -133,19 +133,15 @@ class WindowAttention3D(nn.Module):
         bias = table[idx].reshape(n, n, self.num_heads)
         bias = bias.transpose(2, 0, 1)[None].astype(x.dtype)  # (1, H, N, N)
         if mask is not None:
+            # Shift mask differs per window within a frame, so the combined
+            # bias is tiled to the full (B*nW, H, N, N) batch.
             nw = mask.shape[0]
             m = jnp.asarray(mask, dtype=x.dtype)[None, :, None]  # (1, nW, 1, N, N)
             full_bias = bias[None] + m  # (1, nW, H, N, N)
-            q5 = q.reshape(bnw // nw, nw, n, self.num_heads, head_dim)
-            k5 = k.reshape(bnw // nw, nw, n, self.num_heads, head_dim)
-            v5 = v.reshape(bnw // nw, nw, n, self.num_heads, head_dim)
-            q4 = q5.reshape(-1, n, self.num_heads, head_dim)
-            k4 = k5.reshape(-1, n, self.num_heads, head_dim)
-            v4 = v5.reshape(-1, n, self.num_heads, head_dim)
             fb = jnp.broadcast_to(
                 full_bias, (bnw // nw, nw, self.num_heads, n, n)
             ).reshape(-1, self.num_heads, n, n)
-            out = dot_product_attention(q4, k4, v4, bias=fb)
+            out = dot_product_attention(q, k, v, bias=fb)
         else:
             out = dot_product_attention(q, k, v, bias=bias)
         out = out.reshape(bnw, n, self.dim)

@@ -117,7 +117,7 @@ def _pad_to(x, n, axis):
     return jnp.pad(x, widths)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def flash_attention(
     q: jax.Array,
     k: jax.Array,
@@ -126,7 +126,12 @@ def flash_attention(
     block_q: int = 256,
     block_k: int = 256,
 ) -> jax.Array:
-    """Scaled dot-product attention over (B, N, H, D); bias unsupported."""
+    """Scaled dot-product attention over (B, N, H, D).
+
+    bias is a *differentiated* argument (it may be traced — e.g. Swin3D's
+    relative-position-bias table params under jit — and needs gradients);
+    only the static block sizes are nondiff.
+    """
     return _flash_forward(q, k, v, bias, block_q, block_k)
 
 
@@ -193,16 +198,18 @@ def _reference(q, k, v, bias=None):
 
 
 def _fwd(q, k, v, bias, block_q, block_k):
-    return _flash_forward(q, k, v, bias, block_q, block_k), (q, k, v)
+    return _flash_forward(q, k, v, bias, block_q, block_k), (q, k, v, bias)
 
 
-def _bwd(bias, block_q, block_k, res, g):
+def _bwd(block_q, block_k, res, g):
     # Recompute-through-XLA backward: exact gradients, no bwd kernel needed.
-    # bias is a non-differentiated argument but participates in the recompute.
-    q, k, v = res
-    _, vjp = jax.vjp(lambda q, k, v: _reference(q, k, v, bias), q, k, v)
-    dq, dk, dv = vjp(g)
-    return dq, dk, dv
+    q, k, v, bias = res
+    if bias is None:
+        _, vjp = jax.vjp(lambda q, k, v: _reference(q, k, v, None), q, k, v)
+        dq, dk, dv = vjp(g)
+        return dq, dk, dv, None
+    _, vjp = jax.vjp(_reference, q, k, v, bias)
+    return vjp(g)
 
 
 flash_attention.defvjp(_fwd, _bwd)

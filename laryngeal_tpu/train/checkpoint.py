@@ -41,15 +41,19 @@ def save_checkpoint(
     class_labels=None,
 ) -> str:
     """Write an Orbax checkpoint + metadata.json at `path` (a directory)."""
-    path = Path(path).absolute()
-    if path.exists():
-        import shutil
+    import shutil
 
-        shutil.rmtree(path)
+    path = Path(path).absolute()
     path.parent.mkdir(parents=True, exist_ok=True)
+    # Write-then-rename: the previous best checkpoint survives a failed or
+    # interrupted save (disk full, preemption) instead of being rmtree'd
+    # before the replacement exists.
+    tmp = path.parent / (path.name + ".tmp")
+    if tmp.exists():
+        shutil.rmtree(tmp)
 
     with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(path / "state", _state_pytree(state))
+        ckptr.save(tmp / "state", _state_pytree(state))
 
     class_labels = list(class_labels or [])
     meta = {
@@ -60,8 +64,12 @@ def save_checkpoint(
         "id2label": {str(i): c for i, c in enumerate(class_labels)},
         "label2id": {c: i for i, c in enumerate(class_labels)},
     }
-    with open(path / "metadata.json", "w") as f:
+    with open(tmp / "metadata.json", "w") as f:
         json.dump(meta, f, indent=4, default=str)
+
+    if path.exists():
+        shutil.rmtree(path)
+    tmp.rename(path)
     return str(path)
 
 

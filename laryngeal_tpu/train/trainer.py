@@ -68,9 +68,10 @@ class Trainer:
         if spec.loss == "bce_pos_weight":
             self.logger.info("BCE pos_weight = %.4f (pos=%d neg=%d)", self.pos_weight, pos, neg)
 
-        # State + steps.
-        sample = next(iter(loaders["val"]))
-        t, h, w, c = sample["pixel_values"].shape[1:]
+        # State + steps. Shapes come from the dataset config — materializing
+        # a batch here would decode video and leave a blocked prefetch thread.
+        t = loaders["val"].dataset.num_frames
+        c = 3
         init_rng, self.rng = jax.random.split(self.rng)
         trainable_mask_fn = None
         if spec.name == "resnet50_lstm":
@@ -141,15 +142,20 @@ class Trainer:
             if k in self.history and isinstance(v, list):
                 self.history[k] = list(v)
         self.start_epoch = int(restored["epoch"]) + 1
-        # Re-prime selection/early-stopping with the restored history.
+        # Re-prime selection/early-stopping/LR-plateau with the restored
+        # history so the resumed schedule matches an uninterrupted run.
         for i, vl in enumerate(self.history.get("val_loss", [])):
-            self.selection(val_loss=vl,
-                           val_auroc=self.history["val_auroc"][i]
-                           if i < len(self.history.get("val_auroc", [])) else 0.0,
+            auroc_i = (self.history["val_auroc"][i]
+                       if i < len(self.history.get("val_auroc", [])) else 0.0)
+            self.selection(val_loss=vl, val_auroc=auroc_i,
                            val_acc=self.history["val_acc"][i]
                            if i < len(self.history.get("val_acc", [])) else 0.0)
             if self.early_stopping is not None:
                 self.early_stopping(vl)
+            if self.plateau is not None:
+                self.plateau.step(auroc_i)
+        if self.plateau is not None and self.history.get("lr"):
+            self.plateau.lr = self.history["lr"][-1]
         self.logger.info("Resumed from %s at epoch %d", checkpoint_path, self.start_epoch)
         return self.start_epoch
 
