@@ -239,6 +239,7 @@ class Swin3DConfig:
     num_classes: int = 2
     stochastic_depth: float = 0.1
     dtype: Any = jnp.float32
+    remat: bool = False  # jax.checkpoint per block (memory <-> FLOPs)
 
 
 SWIN3D_VARIANTS = {
@@ -265,11 +266,12 @@ class SwinTransformer3D(nn.Module):
         total_blocks = sum(cfg.depths)
         block_id = 0
         dim = cfg.embed_dim
+        block_cls = nn.remat(SwinBlock3D) if cfg.remat else SwinBlock3D
         for stage, depth in enumerate(cfg.depths):
             for i in range(depth):
                 sd = cfg.stochastic_depth * block_id / max(total_blocks - 1, 1)
                 shift = tuple(0 if i % 2 == 0 else wsz // 2 for wsz in cfg.window)
-                x = SwinBlock3D(
+                x = block_cls(
                     dim, cfg.num_heads[stage], window=cfg.window, shift=shift,
                     mlp_ratio=cfg.mlp_ratio, drop_path=sd, dtype=cfg.dtype,
                     name=f"stage{stage + 1}_block{i}",

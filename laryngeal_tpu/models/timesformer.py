@@ -49,6 +49,7 @@ class TimesformerConfig:
     num_classes: int = 2
     layer_norm_eps: float = 1e-6
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False  # jax.checkpoint per layer (memory <-> FLOPs)
 
     @property
     def num_spatial_patches(self) -> int:
@@ -169,8 +170,9 @@ class TimesformerForVideoClassification(nn.Module):
     def __call__(self, pixel_values: jax.Array, train: bool = False) -> jax.Array:
         cfg = self.config
         x = TimesformerEmbeddings(cfg, name="embeddings")(pixel_values)
+        layer_cls = nn.remat(TimesformerLayer) if cfg.remat else TimesformerLayer
         for i in range(cfg.num_layers):
-            x = TimesformerLayer(cfg, name=f"layer_{i}")(x)
+            x = layer_cls(cfg, name=f"layer_{i}")(x)
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="layernorm")(x)
         return nn.Dense(cfg.num_classes, name="classifier")(x[:, 0]).astype(jnp.float32)
 

@@ -38,6 +38,10 @@ class VivitConfig:
     num_classes: int = 2
     layer_norm_eps: float = 1e-6
     dtype: jnp.dtype = jnp.float32
+    # Rematerialize each block in the backward pass (jax.checkpoint):
+    # trades ~30% more FLOPs for O(layers) less activation HBM, the standard
+    # lever for bigger batches on a 16 GB chip.
+    remat: bool = False
 
     @property
     def num_patches(self) -> int:
@@ -85,8 +89,9 @@ class VivitForVideoClassification(nn.Module):
     def __call__(self, pixel_values: jax.Array, train: bool = False) -> jax.Array:
         cfg = self.config
         x = VivitEmbeddings(cfg, name="embeddings")(pixel_values)
+        block_cls = nn.remat(TransformerBlock) if cfg.remat else TransformerBlock
         for i in range(cfg.num_layers):
-            x = TransformerBlock(
+            x = block_cls(
                 cfg.hidden_size,
                 cfg.num_heads,
                 cfg.intermediate_size,

@@ -169,6 +169,7 @@ class Trainer:
         losses, probs_all, labels_all = [], [], []
         correct = 0.0
         count = 0.0
+        t_start = time.time()
         for batch in self.loaders[split]:
             pixel, labels, mask = prepare_batch(batch, self.mesh)
             if train:
@@ -190,6 +191,7 @@ class Trainer:
             "loss": float(np.mean(losses)) if losses else 0.0,
             "acc": correct / max(count, 1.0),
             "auroc": auroc,
+            "clips_per_sec": count / max(time.time() - t_start, 1e-6),
         }
 
     def train(self) -> TrainState:
@@ -218,9 +220,11 @@ class Trainer:
 
             self.logger.info(
                 "Epoch %d/%d — train loss %.4f acc %.4f auroc %.4f | "
-                "val loss %.4f acc %.4f auroc %.4f | lr %.2e | %.1fs",
+                "val loss %.4f acc %.4f auroc %.4f | lr %.2e | %.1fs "
+                "(%.1f clips/s train)",
                 epoch + 1, epochs, tr["loss"], tr["acc"], tr["auroc"],
                 va["loss"], va["acc"], va["auroc"], lr, dt,
+                tr["clips_per_sec"],
             )
             if self.tracker is not None:
                 self.tracker.log(
