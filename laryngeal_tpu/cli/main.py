@@ -199,6 +199,18 @@ def run(args) -> dict:
     except Exception as e:
         logger.warning("Sampling visualization failed: %s", e)
 
+    # Per-video sampled-index CSV audit (resnet3d pipeline behavior,
+    # resnet50-3d-video/.../dataset.py:245-288) — only meaningful when
+    # sampling is per-video deterministic.
+    if spec.per_video_seed:
+        try:
+            for split in ("train", "val", "test"):
+                path = loaders[split].dataset.save_sampled_indices(exp_dir)
+                if path:
+                    logger.info("Sampled-indices audit -> %s", path)
+        except Exception as e:
+            logger.warning("Sampled-indices audit failed: %s", e)
+
     trainer = Trainer(model, spec, loaders, config, logger=logger,
                       exp_dir=exp_dir, mesh=mesh, tracker=tracker,
                       visualizer=visualizer)
