@@ -38,22 +38,23 @@ def ensure_videos() -> list:
     paths = sorted(BENCH_DIR.glob("*.mp4"))
     if len(paths) >= N_VIDEOS:
         return paths[:N_VIDEOS]
-    rng = np.random.default_rng(0)
     for i in range(N_VIDEOS):
         p = BENCH_DIR / f"bench_{i:03d}.mp4"
         if not p.exists():
+            # Per-file seed: a partially generated directory regenerates
+            # identical content to a fresh run.
+            rng = np.random.default_rng(i)
             clip = synth_video(rng, 96, CROP, CROP, referral=bool(i % 2))
             write_video(p, clip, fps=30)
     return sorted(BENCH_DIR.glob("*.mp4"))[:N_VIDEOS]
 
 
-def bench_tpu(paths) -> float:
+def bench_tpu(paths, pass_seed: int = 0) -> float:
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     from laryngeal_tpu.data.samplers import FrameSampler
-    from laryngeal_tpu.data.video import decode_frames
     from laryngeal_tpu.models.vivit import VivitConfig, VivitForVideoClassification
     from laryngeal_tpu.preprocess.transforms import batch_preprocess
 
@@ -82,7 +83,14 @@ def bench_tpu(paths) -> float:
         0, 255, (BATCH, NUM_FRAMES, CROP * 3 // 2, CROP), dtype=np.uint8))
     np.asarray(forward(params, dummy))
 
-    sampler = FrameSampler("uniform", NUM_FRAMES)
+    # pass_seed 0 = the nominal uniform-sampling pass; later passes draw
+    # seeded random indices so their transfer payloads are NOT byte-identical
+    # (the relay content-hashes payloads; repeating bytes would measure its
+    # dedup cache, not steady-state throughput).
+    if pass_seed == 0:
+        sampler = FrameSampler("uniform", NUM_FRAMES)
+    else:
+        sampler = FrameSampler("random", NUM_FRAMES, seed=pass_seed)
 
     # Overlap host decode with device compute: decode thread feeds a queue.
     import queue
@@ -97,30 +105,30 @@ def bench_tpu(paths) -> float:
         # previous batch's forward (double-buffered via the queue bound).
         # Native libav decode emits I420 planes directly (no BGR roundtrip).
         batch = []
-        for p in paths:
-            clip = decode_frames_auto(p, sampler(str(p), 96),
-                                      resize_to=(CROP, CROP), fmt="i420")
-            batch.append(clip)
-            if len(batch) == BATCH:
+        try:
+            for p in paths:
+                clip = decode_frames_auto(p, sampler(str(p), 96),
+                                          resize_to=(CROP, CROP), fmt="i420")
+                batch.append(clip)
+                if len(batch) == BATCH:
+                    q.put(jax.device_put(np.stack(batch)))
+                    batch = []
+            if batch:
+                while len(batch) < BATCH:
+                    batch.append(batch[-1])
                 q.put(jax.device_put(np.stack(batch)))
-                batch = []
-        if batch:
-            while len(batch) < BATCH:
-                batch.append(batch[-1])
-            q.put(jax.device_put(np.stack(batch)))
-        q.put(None)
+        finally:
+            q.put(None)  # never strand the consumer, even on decode errors
 
     t0 = time.perf_counter()
     th = threading.Thread(target=producer, daemon=True)
     th.start()
-    n_clips = 0
     out = None
     while True:
         item = q.get()
         if item is None:
             break
         out = forward(params, item)
-        n_clips += BATCH
     # Fetch to host: on the axon relay block_until_ready is not a reliable
     # barrier, but a host transfer serializes behind all queued compute.
     np.asarray(out)
@@ -181,7 +189,7 @@ def main():
     t0 = time.perf_counter()
     value = bench_tpu(paths)
     if time.perf_counter() - t0 < 240:
-        value = max(value, bench_tpu(paths))
+        value = max(value, bench_tpu(paths, pass_seed=1))
     try:
         baseline = get_baseline(paths)
         vs = value / baseline if baseline > 0 else None

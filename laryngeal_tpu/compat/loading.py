@@ -25,11 +25,16 @@ def load_torch_state_dict(path):
             for k, v in obj.items()}
 
 
-def load_torch_weights_into_state(state, model_name: str, path, logger=None) -> Any:
-    """Convert a torch checkpoint for `model_name` and install it in `state`."""
+def load_torch_weights_into_state(state, model_name: str, path, logger=None,
+                                  sd=None) -> Any:
+    """Convert a torch checkpoint for `model_name` and install it in `state`.
+
+    Pass a pre-loaded state dict via `sd` to avoid deserializing a large
+    .pth twice when the caller already read it for shape inference."""
     from . import torch_port as tp
 
-    sd = load_torch_state_dict(path)
+    if sd is None:
+        sd = load_torch_state_dict(path)
     n_layers = len({k.split(".")[3] for k in sd if ".encoder.layer." in k}) or 12
     if model_name == "vivit":
         new = {"params": tp.port_vivit(sd, num_layers=n_layers)}

@@ -164,17 +164,25 @@ int clip_decode(const char* path, const int* indices, int n_indices,
   int err = 0;
   while (cur <= last_needed && av_read_frame(r.fmt, pkt) >= 0) {
     if (pkt->stream_index == r.stream_index) {
-      if (avcodec_send_packet(r.dec, pkt) == 0) {
+      int send_rc = avcodec_send_packet(r.dec, pkt);
+      if (send_rc == 0) {
         while (avcodec_receive_frame(r.dec, frame) == 0) {
           handle_decoded(frame);
           if (cur > last_needed) break;
         }
+      } else if (send_rc != AVERROR(EAGAIN)) {
+        // A dropped packet would desync `cur` from the true frame index and
+        // silently attribute wrong frames to every later request — fail fast
+        // and let the Python wrapper fall back to the cv2 path.
+        err = -20;
+        av_packet_unref(pkt);
+        break;
       }
     }
     av_packet_unref(pkt);
   }
-  // Drain.
-  if (cur <= last_needed) {
+  // Drain (skip after a hard packet error — the wrapper falls back).
+  if (err == 0 && cur <= last_needed) {
     avcodec_send_packet(r.dec, nullptr);
     while (cur <= last_needed && avcodec_receive_frame(r.dec, frame) == 0) {
       handle_decoded(frame);

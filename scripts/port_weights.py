@@ -59,7 +59,17 @@ def main():
             patch = sd[f"{prefix}.embeddings.patch_embeddings.projection.weight"]
             tub_t, tub_s = int(patch.shape[2]), int(patch.shape[3])
             n_patches = int(sd[f"{prefix}.embeddings.position_embeddings"].shape[1]) - 1
-            spatial = int(round((n_patches / (num_frames // tub_t)) ** 0.5))
+            t_tokens = num_frames // tub_t
+            if n_patches % t_tokens:
+                raise SystemExit(
+                    f"checkpoint has {n_patches} patch tokens, not divisible by "
+                    f"{t_tokens} temporal tokens — pass the checkpoint's real "
+                    f"--num_frames (got {num_frames})")
+            spatial = int(round((n_patches / t_tokens) ** 0.5))
+            if spatial * spatial * t_tokens != n_patches:
+                raise SystemExit(
+                    f"cannot factor {n_patches} patch tokens into "
+                    f"{t_tokens} x S^2 — wrong --num_frames for this checkpoint?")
             image_size = spatial * tub_s
         else:
             n_spatial = int(sd[f"{prefix}.embeddings.position_embeddings"].shape[1]) - 1
@@ -89,7 +99,8 @@ def main():
         optimizer=spec.optimizer, learning_rate=spec.default_lr,
         weight_decay=spec.default_weight_decay,
     )
-    state = load_torch_weights_into_state(state, args.model, args.torch_weights)
+    state = load_torch_weights_into_state(state, args.model, args.torch_weights,
+                                          sd=sd)
     path = save_checkpoint(
         args.output, state, epoch=0,
         config={"source": str(args.torch_weights), "model": args.model,
