@@ -37,14 +37,35 @@ class TrainState(struct.PyTreeNode):
         )
 
 
+def _freeze_by_mask(tx: optax.GradientTransformation, mask) -> optax.GradientTransformation:
+    """Zero both incoming gradients and outgoing updates for mask=False
+    leaves. NOTE: optax.masked is NOT a freezer — it passes the raw gradient
+    through unchanged as the update for unmasked leaves, which would train
+    the 'frozen' params at learning-rate 1."""
+    import jax
+
+    def init(params):
+        return tx.init(params)
+
+    def update(grads, state, params=None):
+        grads = jax.tree.map(
+            lambda g, m: g if m else jnp.zeros_like(g), grads, mask)
+        updates, state = tx.update(grads, state, params)
+        updates = jax.tree.map(
+            lambda u, m: u if m else jnp.zeros_like(u), updates, mask)
+        return updates, state
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizer(
     name: str,
     learning_rate: float,
     weight_decay: float = 0.0,
     trainable_mask: Optional[Any] = None,
 ) -> optax.GradientTransformation:
-    """'adam' | 'adamw' with injectable learning_rate; optionally masked so
-    frozen params (reference: the ResNet50 trunk) receive zero updates."""
+    """'adam' | 'adamw' with injectable learning_rate; optionally frozen so
+    mask=False params (reference: the ResNet50 trunk) receive zero updates."""
     if name == "adam":
         tx = optax.inject_hyperparams(optax.adam)(learning_rate=learning_rate)
     elif name == "adamw":
@@ -54,7 +75,7 @@ def make_optimizer(
     else:
         raise ValueError(f"Unknown optimizer {name!r}")
     if trainable_mask is not None:
-        tx = optax.masked(tx, trainable_mask)
+        tx = _freeze_by_mask(tx, trainable_mask)
     return tx
 
 
