@@ -85,7 +85,8 @@ class Predictor:
         num_frames = num_frames or saved_num_frames or spec.default_num_frames
         # One resolution drives the model config, the template input, AND the
         # decode/preprocess crop — they must agree or patch counts mismatch.
-        resolution = crop_size or image_size or saved_image or 224
+        resolution = (crop_size or image_size or saved_image
+                      or meta_cfg.get("crop_size") or 224)
 
         kwargs = dict(num_classes=num_classes)
         if model_name in ("vivit", "timesformer"):

@@ -117,5 +117,10 @@ class ResNet3D(nn.Module):
 
 
 def create_resnet3d(num_classes: int = 2, dropout: float = 0.5,
-                    dtype=jnp.float32, **_) -> ResNet3D:
-    return ResNet3D(ResNet3DConfig(num_classes=num_classes, dropout=dropout, dtype=dtype))
+                    dtype=jnp.float32, **kwargs) -> ResNet3D:
+    import dataclasses as _dc
+
+    fields = {f.name for f in _dc.fields(ResNet3DConfig)}
+    cfg_kwargs = {k: v for k, v in kwargs.items() if k in fields}
+    return ResNet3D(ResNet3DConfig(num_classes=num_classes, dropout=dropout,
+                                   dtype=dtype, **cfg_kwargs))

@@ -52,19 +52,26 @@ def adjust_window(size_dhw, window, shift):
     return tuple(win), tuple(sh)
 
 
-def relative_position_index(window) -> np.ndarray:
-    """(N, N) linearized relative-coordinate index (torchvision layout)."""
+def relative_position_index(window, full_window=None) -> np.ndarray:
+    """(N, N) linearized relative-coordinate index (torchvision layout).
+
+    ``full_window`` sets the table's coordinate strides; when the runtime
+    window is clamped below the configured one (small inputs), indices still
+    address the FULL-window bias table — params stay resolution-independent,
+    matching torchvision (which always sizes the table by the config window).
+    """
     wt, wh, ww = window
+    ft, fh, fw = full_window or window
     coords = np.stack(
         np.meshgrid(np.arange(wt), np.arange(wh), np.arange(ww), indexing="ij")
     ).reshape(3, -1)
     rel = coords[:, :, None] - coords[:, None, :]  # (3, N, N)
     rel = rel.transpose(1, 2, 0).astype(np.int64)
-    rel[:, :, 0] += wt - 1
-    rel[:, :, 1] += wh - 1
-    rel[:, :, 2] += ww - 1
-    rel[:, :, 0] *= (2 * wh - 1) * (2 * ww - 1)
-    rel[:, :, 1] *= 2 * ww - 1
+    rel[:, :, 0] += ft - 1
+    rel[:, :, 1] += fh - 1
+    rel[:, :, 2] += fw - 1
+    rel[:, :, 0] *= (2 * fh - 1) * (2 * fw - 1)
+    rel[:, :, 1] *= 2 * fw - 1
     return rel.sum(-1)
 
 
@@ -109,8 +116,9 @@ def window_merge(x, window, dims, batch):
 
 class WindowAttention3D(nn.Module):
     dim: int
-    window: Tuple[int, int, int]
+    window: Tuple[int, int, int]       # runtime (possibly clamped) window
     num_heads: int
+    full_window: Tuple[int, int, int] = None  # config window; sizes the table
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -122,14 +130,15 @@ class WindowAttention3D(nn.Module):
         qkv = qkv.reshape(bnw, n, 3, self.num_heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
 
-        wt, wh, ww = self.window
+        full = self.full_window or self.window
+        ft, fh, fw = full
         table = self.param(
             "relative_position_bias_table",
             nn.initializers.truncated_normal(0.02),
-            ((2 * wt - 1) * (2 * wh - 1) * (2 * ww - 1), self.num_heads),
+            ((2 * ft - 1) * (2 * fh - 1) * (2 * fw - 1), self.num_heads),
             jnp.float32,
         )
-        idx = relative_position_index(self.window).reshape(-1)
+        idx = relative_position_index(self.window, full).reshape(-1)
         bias = table[idx].reshape(n, n, self.num_heads)
         bias = bias.transpose(2, 0, 1)[None].astype(x.dtype)  # (1, H, N, N)
         if mask is not None:
@@ -195,6 +204,7 @@ class SwinBlock3D(nn.Module):
 
         wins = window_partition(hx, window)
         wins = WindowAttention3D(self.dim, window, self.num_heads,
+                                 full_window=self.window,
                                  dtype=self.dtype, name="attn")(wins, mask)
         hx = window_merge(wins, window, (tp, hp, wp), b)
 
@@ -293,6 +303,9 @@ def create_swin3d(model_size: str = "tiny", num_classes: int = 2,
     if model_size not in SWIN3D_VARIANTS:
         raise ValueError(f"Unknown swin3d size {model_size!r}; "
                          f"expected one of {sorted(SWIN3D_VARIANTS)}")
-    cfg = Swin3DConfig(num_classes=num_classes, dtype=dtype,
-                       **SWIN3D_VARIANTS[model_size], **kwargs)
+    # Explicit kwargs (e.g. from checkpoint-pinned model_kwargs) override
+    # the variant preset.
+    variant = dict(SWIN3D_VARIANTS[model_size])
+    variant.update(kwargs)
+    cfg = Swin3DConfig(num_classes=num_classes, dtype=dtype, **variant)
     return SwinTransformer3D(cfg)
