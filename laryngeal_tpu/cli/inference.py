@@ -115,6 +115,33 @@ def main(argv=None, model_default=None):
     with open(results_dir / "batch_summary.json", "w") as f:
         json.dump({"summary": summary, "results": results}, f, indent=4)
     logger.info("Batch results -> %s", csv_path)
+
+    # Prediction-distribution plots (2d-lstm batch mode renders a class pie
+    # and a confidence histogram, resnet50-2d-lstm/inference.py:309-351).
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, axes = plt.subplots(1, 2, figsize=(12, 5))
+        counts = {}
+        for r in results:
+            counts[r["predicted_class"]] = counts.get(r["predicted_class"], 0) + 1
+        axes[0].pie(list(counts.values()), labels=list(counts.keys()),
+                    autopct="%1.1f%%", startangle=90)
+        axes[0].set_title("Predicted class distribution")
+        confs = [r["probabilities"].get("referral", 0.0) for r in results]
+        axes[1].hist(confs, bins=20, range=(0, 1), color="steelblue", alpha=0.8)
+        axes[1].set_xlabel("P(referral)")
+        axes[1].set_ylabel("videos")
+        axes[1].set_title("Referral-probability distribution")
+        fig.tight_layout()
+        fig.savefig(results_dir / "batch_distribution.png", dpi=100)
+        plt.close(fig)
+        logger.info("Distribution plots -> %s", results_dir / "batch_distribution.png")
+    except Exception as e:
+        logger.warning("Distribution plots failed: %s", e)
     print(json.dumps(summary, indent=2))
     return results
 
