@@ -88,6 +88,15 @@ def build_parser(model_default: str = None) -> argparse.ArgumentParser:
     p.add_argument("--crop_size", type=int, default=224)
     p.add_argument("--bf16", action="store_true", help="bfloat16 compute")
     p.add_argument("--no_cache_clips", action="store_true")
+    p.add_argument("--clip_cache_mb", type=int, default=2048,
+                   help="RAM budget (MiB) for the decoded-clip LRU cache")
+    p.add_argument("--verify_integrity", action="store_true",
+                   help="Open and decode-check every video at dataset init, "
+                        "dropping unreadable files (the ViViT reference does "
+                        "this unconditionally, vivit_transformer/.../"
+                        "data_config/dataset.py:48-112)")
+    p.add_argument("--decode_workers", type=int, default=None,
+                   help="Parallel decode threads per loader (default: auto)")
     p.add_argument("--image_size", type=int, default=None,
                    help="Model input size (defaults to crop_size)")
     return p
@@ -143,6 +152,9 @@ def run(args) -> dict:
         resize_to=(args.crop_size, args.crop_size) if args.crop_size != 224 else (224, 224),
         pad_last=True,
         cache_clips=not args.no_cache_clips,
+        clip_cache_mb=args.clip_cache_mb,
+        verify_integrity=args.verify_integrity,
+        num_workers=args.decode_workers,
     )
     for split in ("train", "val", "test"):
         ds = loaders[split].dataset

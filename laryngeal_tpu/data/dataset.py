@@ -18,6 +18,7 @@ Label policies (both exist in the reference):
 from __future__ import annotations
 
 import logging
+from collections import OrderedDict
 from pathlib import Path
 from typing import Dict, List, Optional, Sequence
 
@@ -38,6 +39,60 @@ def resolve_data_dir(root_dir, mode: str) -> Path:
             return root / mode
         return root / "dataset" / mode
     return root / "dataset" / mode
+
+
+class ClipCache:
+    """Byte-budgeted LRU cache for decoded uint8 clips.
+
+    The reference re-decodes every video every epoch; caching decoded clips
+    is the rebuild's fix — but an unbounded dict is a silent OOM on datasets
+    larger than duhs-gss's 132 videos. Entries are evicted least-recently-used
+    once the byte budget is exceeded. Default budget (2 GiB) holds ~3400
+    clips at 32x224x224x3 uint8.
+    """
+
+    def __init__(self, max_bytes: int = 2 << 30):
+        import threading
+
+        self.max_bytes = int(max_bytes)
+        self._store: "OrderedDict" = OrderedDict()
+        self._bytes = 0
+        self._lock = threading.Lock()  # decode workers share the cache
+
+    def __contains__(self, key) -> bool:
+        with self._lock:
+            return key in self._store
+
+    def __len__(self) -> int:
+        return len(self._store)
+
+    @property
+    def nbytes(self) -> int:
+        return self._bytes
+
+    def get(self, key):
+        with self._lock:
+            clip = self._store.get(key)
+            if clip is not None:
+                self._store.move_to_end(key)
+            return clip
+
+    def put(self, key, clip: np.ndarray) -> None:
+        if clip.nbytes > self.max_bytes:
+            return  # one clip over budget: never cache, never evict others
+        with self._lock:
+            if key in self._store:
+                self._bytes -= self._store.pop(key).nbytes
+            self._store[key] = clip
+            self._bytes += clip.nbytes
+            while self._bytes > self.max_bytes and self._store:
+                _, evicted = self._store.popitem(last=False)
+                self._bytes -= evicted.nbytes
+
+    def clear(self) -> None:
+        with self._lock:
+            self._store.clear()
+            self._bytes = 0
 
 
 class VideoDataset:
@@ -63,6 +118,7 @@ class VideoDataset:
         verify_integrity: bool = False,
         resize_to: Optional[tuple] = (224, 224),
         cache_clips: bool = True,
+        clip_cache_mb: int = 2048,
         video_paths: Optional[Sequence[str]] = None,
     ):
         self.root_dir = Path(root_dir)
@@ -77,7 +133,7 @@ class VideoDataset:
         self.cache_clips = cache_clips and (
             per_video_seed or sampling_method == "uniform"
         )
-        self._clip_cache: Dict = {}
+        self._clip_cache = ClipCache(max_bytes=int(clip_cache_mb) << 20)
         self._props_cache: Dict = {}
 
         self.sampler = FrameSampler(
@@ -124,47 +180,70 @@ class VideoDataset:
     def __len__(self) -> int:
         return len(self.video_paths)
 
+    def resample_clips(self, pass_idx: int) -> None:
+        """Public contract for clip-averaged evaluation: draw a fresh (but
+        deterministic) clip per video for pass ``pass_idx`` and invalidate
+        decoded clips keyed by the previous pass's indices."""
+        self.sampler.resample(pass_idx)
+        self._clip_cache.clear()
+
     def video_properties(self, path: str):
         if path not in self._props_cache:
             self._props_cache[path] = get_video_properties(path)
         return self._props_cache[path]
 
-    def __getitem__(self, idx: int) -> Dict:
+    def plan(self, idx: int) -> Dict:
+        """Probe + sample frame indices for item ``idx``. MUST run serially in
+        dataset-iteration order: stream-seeded samplers (ViViT-family) consume
+        one RNG draw per video, and reference index parity depends on the
+        draw order. Returns a decode plan consumed by ``materialize``."""
         path = self.video_paths[idx]
         label = self.labels[idx]
-        # Robustness contract (vivit dataset.py:370-381): any decode failure
-        # yields a gray placeholder clip with empty frame_indices, never an
-        # exception out of the data path.
         try:
             total_frames, *_ = self.video_properties(path)
             indices = self.sampler(path, total_frames)
         except Exception as e:
             logger.warning("Could not probe %s: %s — placeholder clip", path, e)
-            hw = self.resize_to or (224, 224)
+            indices = None
+        return {"video_path": path, "label": int(label), "frame_indices": indices}
+
+    def materialize(self, plan: Dict) -> Dict:
+        """Decode the planned clip. Thread-safe (the clip cache is locked;
+        decode touches no shared sampler state) — ClipLoader fans these out
+        over a worker pool, the TPU replacement for the reference's
+        ``DataLoader(num_workers=N)`` processes."""
+        path, label, indices = (
+            plan["video_path"], plan["label"], plan["frame_indices"])
+        hw = self.resize_to or (224, 224)
+        # Robustness contract (vivit dataset.py:370-381): any decode failure
+        # yields a gray placeholder clip with empty frame_indices, never an
+        # exception out of the data path.
+        if indices is None:
             clip = np.full((self.num_frames, hw[1], hw[0], 3), 127, np.uint8)
-            return {"pixel_values": clip, "label": int(label),
+            return {"pixel_values": clip, "label": label,
                     "video_path": path, "frame_indices": []}
 
         key = (path, tuple(indices))
-        if self.cache_clips and key in self._clip_cache:
-            clip = self._clip_cache[key]
-        else:
+        clip = self._clip_cache.get(key) if self.cache_clips else None
+        if clip is None:
             try:
                 from .native import decode_frames_auto
 
                 clip = decode_frames_auto(path, indices, resize_to=self.resize_to)
             except Exception as e:
                 logger.warning("Decode failed for %s: %s — placeholder clip", path, e)
-                hw = self.resize_to or (224, 224)
                 clip = np.full((self.num_frames, hw[1], hw[0], 3), 127, np.uint8)
             if self.cache_clips:
-                self._clip_cache[key] = clip
+                self._clip_cache.put(key, clip)
         return {
             "pixel_values": clip,
-            "label": int(label),
+            "label": label,
             "video_path": path,
             "frame_indices": list(indices),
         }
+
+    def __getitem__(self, idx: int) -> Dict:
+        return self.materialize(self.plan(idx))
 
     def save_sampled_indices(self, log_dir) -> Optional[str]:
         """CSV audit of per-video sampled indices

@@ -14,8 +14,10 @@ processor on host every epoch), preprocessing here is jitted on device
 
 from __future__ import annotations
 
+import os
 import queue
 import threading
+from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, Iterator, Optional
 
 import numpy as np
@@ -24,7 +26,14 @@ from .dataset import VideoDataset
 
 
 class ClipLoader:
-    """Iterable over stacked clip batches with background prefetch."""
+    """Iterable over stacked clip batches with background prefetch.
+
+    Decode parallelism: item *planning* (frame-index sampling) runs serially
+    to preserve the reference's RNG-stream order, then the decodes fan out
+    over ``num_workers`` threads (libav/cv2 release the GIL) — the TPU-side
+    replacement for the reference's ``DataLoader(num_workers=N)`` worker
+    processes (vivit_transformer/.../dataloader.py:88-95).
+    """
 
     def __init__(
         self,
@@ -35,6 +44,7 @@ class ClipLoader:
         drop_last: bool = False,
         prefetch: int = 2,
         pad_last: bool = False,
+        num_workers: Optional[int] = None,
     ):
         self.dataset = dataset
         self.batch_size = int(batch_size)
@@ -43,7 +53,19 @@ class ClipLoader:
         self.drop_last = drop_last
         self.prefetch = max(1, int(prefetch))
         self.pad_last = pad_last
+        if num_workers is None:
+            num_workers = min(4, os.cpu_count() or 1)
+        self.num_workers = max(1, int(num_workers))
+        self._pool: Optional[ThreadPoolExecutor] = None
         self._epoch = 0
+
+    def _executor(self) -> Optional[ThreadPoolExecutor]:
+        if self.num_workers <= 1:
+            return None
+        if self._pool is None:
+            self._pool = ThreadPoolExecutor(
+                max_workers=self.num_workers, thread_name_prefix="clip-decode")
+        return self._pool
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -59,7 +81,12 @@ class ClipLoader:
         return idx
 
     def _make_batch(self, indices) -> Dict:
-        items = [self.dataset[int(i)] for i in indices]
+        plans = [self.dataset.plan(int(i)) for i in indices]  # serial: RNG order
+        pool = self._executor()
+        if pool is not None and len(plans) > 1:
+            items = list(pool.map(self.dataset.materialize, plans))
+        else:
+            items = [self.dataset.materialize(p) for p in plans]
         pixel = np.stack([it["pixel_values"] for it in items])
         labels = np.asarray([it["label"] for it in items], dtype=np.int32)
         mask = np.ones(len(items), dtype=np.bool_)
@@ -128,6 +155,8 @@ def create_dataloaders(
     drop_last_train: bool = False,
     pad_last: bool = False,
     cache_clips: bool = True,
+    clip_cache_mb: int = 2048,
+    num_workers: Optional[int] = None,
 ) -> Dict[str, ClipLoader]:
     """Train/val/test loaders — the reference ``create_dataloaders`` surface
     (vivit_transformer/.../dataloader.py:52-135) for all five pipelines."""
@@ -146,6 +175,7 @@ def create_dataloaders(
             verify_integrity=verify_integrity,
             resize_to=resize_to,
             cache_clips=cache_clips,
+            clip_cache_mb=clip_cache_mb,
         )
         loaders[split] = ClipLoader(
             ds,
@@ -154,5 +184,6 @@ def create_dataloaders(
             seed=seed,
             drop_last=(split == "train" and drop_last_train),
             pad_last=pad_last,
+            num_workers=num_workers,
         )
     return loaders

@@ -184,6 +184,15 @@ class FrameSampler:
         self._rng = random.Random(self.seed)
         self._cache.clear()
 
+    def resample(self, pass_idx: int = 0) -> None:
+        """Re-key the sampler for evaluation pass ``pass_idx`` (clip-averaged
+        eval): per-video seeds get ``pass_idx`` as an additive salt and the
+        stream RNG reseeds to ``seed + pass_idx``. ``resample(0)`` restores
+        the nominal epoch-0 stream. Deterministic: the same pass index always
+        yields the same indices for a given video set/iteration order."""
+        self.salt = int(pass_idx)
+        self._rng = random.Random(self.seed + int(pass_idx))
+
     def video_seed(self, video_path: str) -> int:
         if self.hash_fn == "python":
             return python_hash_video_seed(video_path)

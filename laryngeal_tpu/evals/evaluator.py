@@ -80,20 +80,17 @@ class Evaluator:
         probs_sum = None
         labels = paths = None
         losses = []
-        import random as _random
-
         for p in range(passes):
             if passes > 1:
-                # Fresh clips per pass: salt the per-video seeds / reseed the
-                # stream, and drop decoded-clip caches keyed by old indices.
-                sampler.salt = p
-                sampler._rng = _random.Random(sampler.seed + p)
-                self.loader.dataset._clip_cache.clear()
+                # Fresh clips per pass: deterministic per-pass resample
+                # (FrameSampler.resample salts seeds / reseeds the stream)
+                # plus invalidation of clips cached under the old indices.
+                self.loader.dataset.resample_clips(p)
             probs, labels, paths, pass_losses = self._run_pass(state)
             losses.extend(pass_losses)
             probs_sum = probs if probs_sum is None else probs_sum + probs
-        if passes > 1 and sampler is not None:
-            sampler.salt = 0
+        if passes > 1:
+            self.loader.dataset.resample_clips(0)
         probs = probs_sum / passes if probs_sum is not None else np.zeros((0, 2))
         preds = probs.argmax(axis=-1) if probs.size else np.zeros((0,), int)
 
@@ -123,6 +120,10 @@ class Evaluator:
                 if "roc_curve" in metrics:
                     self.visualizer.plot_roc_curve(metrics)
                 self.visualizer.plot_evaluation_metrics(metrics, self.class_names)
+                # Sample-prediction frame grid from the test loader — the
+                # reference evaluator renders this per run
+                # (vivit_transformer/.../evaluators/evaluator.py:214-249).
+                self._plot_sample_predictions(paths, labels, preds, probs)
             except Exception as e:
                 self.logger.warning("Evaluation plots failed: %s", e)
 
@@ -131,3 +132,27 @@ class Evaluator:
             metrics.get("f1_score", 0.0),
             metrics.get("confusion_matrix", np.array([])),
         )
+
+    def _plot_sample_predictions(self, paths, labels, preds, probs,
+                                 max_samples: int = 8) -> None:
+        """Middle-frame grid of the first ``max_samples`` test videos with
+        green/red correctness titles (reference evaluator.py:214-249)."""
+        if not len(paths):
+            return
+        by_path = {p: i for i, p in enumerate(paths)}
+        ds = self.loader.dataset
+        clips, ls, ps, pr = [], [], [], []
+        for i in range(len(ds)):
+            if len(clips) >= max_samples:
+                break
+            path = ds.video_paths[i]
+            j = by_path.get(path)
+            if j is None:
+                continue
+            clips.append(ds[i]["pixel_values"])
+            ls.append(int(labels[j]))
+            ps.append(int(preds[j]))
+            pr.append(float(probs[j, ps[-1]]))
+        if clips:
+            self.visualizer.plot_sample_predictions(
+                clips, ls, ps, pr, self.class_names, max_samples=max_samples)

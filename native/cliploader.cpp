@@ -51,7 +51,12 @@ struct Reader {
     if (!codec) return -4;
     dec = avcodec_alloc_context3(codec);
     if (!dec || avcodec_parameters_to_context(dec, st->codecpar) < 0) return -5;
-    dec->thread_count = 1;  // single host core
+    // Auto-size decoder threads to the host (frame+slice threading); on a
+    // 1-core host this resolves to 1 thread with no overhead, on real
+    // multi-core hosts it parallelizes the h264 decode that bounds the
+    // end-to-end pipeline.
+    dec->thread_count = 0;
+    dec->thread_type = FF_THREAD_FRAME | FF_THREAD_SLICE;
     if (avcodec_open2(dec, codec, nullptr) < 0) return -6;
     return 0;
   }
