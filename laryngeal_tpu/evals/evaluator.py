@@ -51,18 +51,30 @@ class Evaluator:
         self.mesh = mesh
 
     def _run_pass(self, state):
-        probs_all, labels_all, paths, losses = [], [], [], []
+        """Single pass over the test loader; per-batch outputs stay on device
+        and are fetched in one device_get at the end (see Trainer._run_epoch
+        for why per-batch fetches are poison on the axon relay)."""
+        import jax
+        import jax.numpy as jnp
+
+        probs_dev, loss_dev, masks, labels_all, paths = [], [], [], [], []
         for batch in self.loader:
             pixel, labels, mask = prepare_batch(batch, self.mesh)
             m = self.eval_step(state, pixel, labels, mask)
+            probs_dev.append(m["probs"])
+            loss_dev.append(m["loss"])
             valid = np.asarray(batch["mask"])
-            probs_all.append(np.asarray(m["probs"])[valid])
+            masks.append(valid)
             labels_all.append(np.asarray(batch["labels"])[valid])
-            losses.append(float(m["loss"]))
             paths.extend(np.asarray(batch["video_paths"])[valid].tolist())
-        probs = np.concatenate(probs_all) if probs_all else np.zeros((0, 2))
-        labels = np.concatenate(labels_all) if labels_all else np.zeros((0,), int)
-        return probs, labels, paths, losses
+        if not probs_dev:
+            return np.zeros((0, 2)), np.zeros((0,), int), [], []
+        probs, losses = jax.device_get(
+            (jnp.concatenate(probs_dev, axis=0), jnp.stack(loss_dev)))
+        valid = np.concatenate(masks)
+        probs = np.asarray(probs)[valid]
+        labels = np.concatenate(labels_all)
+        return probs, labels, paths, [float(x) for x in losses]
 
     def evaluate(self, state, sampling_method: str = "uniform",
                  eval_clips: int = 1) -> Tuple[float, float, np.ndarray]:
