@@ -7,11 +7,24 @@ an online softmax (running max/sum), so HBM traffic is O(N*D) per head:
 classic flash attention, sized for the MXU (block_q x block_k logits tiles,
 f32 accumulation via ``preferred_element_type``).
 
-Scope: non-causal, no attention bias (Swin's biased window attention stays
-on the XLA path — its windows are only 392 tokens), head_dim <= 128.
-Backward uses recompute through the unfused reference (XLA) — training
-correctness without a hand-written backward kernel; the forward-heavy
-inference path (the north-star benchmark) gets the full benefit.
+Scope: non-causal, head_dim <= 128. Training is the reference's primary
+workload (the hot loop, ``vivit_transformer/vivit_classifier/trainers/
+trainer.py:134-167``), so the backward is a real flash backward — the
+standard two-kernel recompute scheme:
+
+- dq kernel (grid: q blocks): stream K/V blocks, recompute P from the saved
+  per-row logsumexp, accumulate ``dq += scale * dS @ K``;
+- dk/dv kernel (grid: k blocks): stream Q/dO blocks, accumulate
+  ``dv += P^T dO`` and ``dk += scale * dS^T Q``;
+
+with ``dS = P * (dP - delta)``, ``delta = rowsum(dO * O)`` (computed in XLA,
+O(N*D)). No (N, N) tensor ever hits HBM in either direction — forward saves
+only O and the (B*H, N) logsumexp.
+
+The *biased* path (additive logits bias) keeps the recompute-through-XLA
+backward: its only in-tree consumer was Swin3D's windowed attention, which
+now routes through ops.window_attention's fused kernel; the generic biased
+entry stays for API completeness at small N where XLA recompute is fine.
 
 Layout: (batch, seq, heads, head_dim), matching ops.attention.
 """
@@ -68,6 +81,119 @@ def _attention_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, block_k, n_actual):
 
     m, l, acc = jax.lax.fori_loop(0, num_kb, body, (m0, l0, acc0))
     o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+def _attention_kernel_lse(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale,
+                          block_k, n_actual):
+    """Forward variant that also emits the per-row logsumexp — the residual
+    the flash backward needs to recompute P blockwise."""
+    q = q_ref[0].astype(jnp.float32)
+    block_q, d = q.shape
+    n_pad = k_ref.shape[1]
+    num_kb = n_pad // block_k
+
+    m0 = jnp.full((block_q, 1), -1e30, jnp.float32)
+    l0 = jnp.zeros((block_q, 1), jnp.float32)
+    acc0 = jnp.zeros((block_q, d), jnp.float32)
+
+    def body(i, carry):
+        m, l, acc = carry
+        k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+        s = jnp.where(col + i * block_k < n_actual, s, -1e30)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_new = acc * alpha + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return m_new, l_new, acc_new
+
+    m, l, acc = jax.lax.fori_loop(0, num_kb, body, (m0, l0, acc0))
+    l_safe = jnp.maximum(l, 1e-30)
+    o_ref[0] = (acc / l_safe).astype(o_ref.dtype)
+    lse_ref[0] = m + jnp.log(l_safe)  # (block_q, 1)
+
+
+def _dq_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref, dq_ref, *,
+               scale, block_k, n_actual):
+    """dQ for one (batch*head, q_block): stream K/V, recompute P from lse."""
+    q = q_ref[0].astype(jnp.float32)        # (bq, D)
+    g = g_ref[0].astype(jnp.float32)        # (bq, D)
+    lse = lse_ref[0]                         # (bq, 1)
+    delta = delta_ref[0]                     # (bq, 1)
+    block_q, d = q.shape
+    n_pad = k_ref.shape[1]
+    num_kb = n_pad // block_k
+
+    def body(i, acc):
+        k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+        p = jnp.where(col + i * block_k < n_actual, jnp.exp(s - lse), 0.0)
+        dp = jax.lax.dot_general(
+            g, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (bq, bk)
+        ds = p * (dp - delta)
+        return acc + jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    acc = jax.lax.fori_loop(
+        0, num_kb, body, jnp.zeros((block_q, d), jnp.float32))
+    dq_ref[0] = (acc * scale).astype(dq_ref.dtype)
+
+
+def _dkv_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
+                dk_ref, dv_ref, *, scale, block_q, n_actual):
+    """dK/dV for one (batch*head, k_block): stream Q/dO blocks.
+
+    Zero-padded q/dO/delta rows contribute exactly zero (dp = 0, delta = 0
+    => dS = 0; P^T dO adds zero rows), so no row masking is needed; padded
+    key rows of the dk/dv outputs are sliced off by the caller.
+    """
+    k = k_ref[0].astype(jnp.float32)        # (bk, D)
+    v = v_ref[0].astype(jnp.float32)
+    block_k, d = k.shape
+    n_pad = q_ref.shape[1]
+    num_qb = n_pad // block_q
+    kb0 = pl.program_id(1) * block_k
+    col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + kb0
+
+    def body(i, carry):
+        dk_acc, dv_acc = carry
+        q = q_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        g = g_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        lse = lse_ref[0, pl.ds(i * block_q, block_q), :]    # (bq, 1)
+        delta = delta_ref[0, pl.ds(i * block_q, block_q), :]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # (bq, bk)
+        p = jnp.where(col < n_actual, jnp.exp(s - lse), 0.0)
+        dv_acc = dv_acc + jax.lax.dot_general(
+            p, g, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (bk, D)
+        dp = jax.lax.dot_general(
+            g, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - delta)
+        dk_acc = dk_acc + jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return dk_acc, dv_acc
+
+    zeros = jnp.zeros((block_k, d), jnp.float32)
+    dk_acc, dv_acc = jax.lax.fori_loop(0, num_qb, body, (zeros, zeros))
+    dk_ref[0] = (dk_acc * scale).astype(dk_ref.dtype)
+    dv_ref[0] = dv_acc.astype(dv_ref.dtype)
 
 
 def _attention_kernel_bias(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale,
@@ -135,17 +261,26 @@ def flash_attention(
     return _flash_forward(q, k, v, bias, block_q, block_k)
 
 
-def _flash_forward(q, k, v, bias, block_q, block_k, interpret: Optional[bool] = None):
+def _to_bh(x):
+    """(B, N, H, D) -> (B*H, N, D)."""
+    b, n, h, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b * h, n, d)
+
+
+def _from_bh(x, b, h):
+    """(B*H, N, D) -> (B, N, H, D)."""
+    bh, n, d = x.shape
+    return x.reshape(b, h, n, d).transpose(0, 2, 1, 3)
+
+
+def _flash_forward(q, k, v, bias, block_q, block_k,
+                   interpret: Optional[bool] = None, return_lse: bool = False):
     b, n, h, d = q.shape
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     scale = 1.0 / math.sqrt(d)
 
-    # (B, N, H, D) -> (B*H, N, D)
-    def to_bh(x):
-        return x.transpose(0, 2, 1, 3).reshape(b * h, x.shape[1], d)
-
-    qb, kb, vb = to_bh(q), to_bh(k), to_bh(v)
+    qb, kb, vb = _to_bh(q), _to_bh(k), _to_bh(v)
     n_pad_q = -(-n // block_q) * block_q
     n_pad_k = -(-n // block_k) * block_k
     qb = _pad_to(qb, n_pad_q, 1)
@@ -158,6 +293,23 @@ def _flash_forward(q, k, v, bias, block_q, block_k, interpret: Optional[bool] = 
     kv_spec = pl.BlockSpec((1, n_pad_k, d), lambda bh, qi: (bh, 0, 0), **mem)
     out_shape = jax.ShapeDtypeStruct((b * h, n_pad_q, d), q.dtype)
 
+    if bias is None and return_lse:
+        # lse rides as (BH, N_pad, 1): Mosaic wants the last two block dims
+        # divisible by (8, 128) or equal to the array dims — (block_q, 1)
+        # satisfies that, (1, block_q) does not.
+        lse_spec = pl.BlockSpec((1, block_q, 1), lambda bh, qi: (bh, qi, 0), **mem)
+        kernel = functools.partial(
+            _attention_kernel_lse, scale=scale, block_k=block_k, n_actual=n
+        )
+        out, lse = pl.pallas_call(
+            kernel, grid=grid,
+            in_specs=[q_spec, kv_spec, kv_spec],
+            out_specs=(q_spec, lse_spec),
+            out_shape=(out_shape,
+                       jax.ShapeDtypeStruct((b * h, n_pad_q, 1), jnp.float32)),
+            interpret=interpret,
+        )(qb, kb, vb)
+        return _from_bh(out[:, :n], b, h), lse
     if bias is None:
         kernel = functools.partial(
             _attention_kernel, scale=scale, block_k=block_k, n_actual=n
@@ -183,8 +335,62 @@ def _flash_forward(q, k, v, bias, block_q, block_k, interpret: Optional[bool] = 
             in_specs=[q_spec, kv_spec, kv_spec, bias_spec],
             out_specs=q_spec, out_shape=out_shape, interpret=interpret,
         )(qb, kb, vb, bias3)
-    out = out[:, :n].reshape(b, h, n, d).transpose(0, 2, 1, 3)
-    return out
+    return _from_bh(out[:, :n], b, h)
+
+
+def _flash_backward(q, k, v, o, lse_pad, g, block_q, block_k,
+                    interpret: Optional[bool] = None):
+    """dq/dk/dv via the two-kernel flash scheme. ``lse_pad`` is the forward's
+    (B*H, n_pad_q) logsumexp. No (N, N) tensor is materialized in HBM."""
+    b, n, h, d = q.shape
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    scale = 1.0 / math.sqrt(d)
+
+    # delta = rowsum(dO * O): O(N*D) elementwise in XLA; shaped (BH, N, 1)
+    # like lse (see the Mosaic block-dim note in _flash_forward).
+    delta = jnp.sum(g.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
+    delta = delta.transpose(0, 2, 1).reshape(b * h, n, 1)
+
+    n_pad_q = -(-n // block_q) * block_q
+    n_pad_k = -(-n // block_k) * block_k
+    qb = _pad_to(_to_bh(q), n_pad_q, 1)
+    gb = _pad_to(_to_bh(g), n_pad_q, 1)
+    kb = _pad_to(_to_bh(k), n_pad_k, 1)
+    vb = _pad_to(_to_bh(v), n_pad_k, 1)
+    delta = _pad_to(delta, n_pad_q, 1)
+    lse_pad = _pad_to(lse_pad, n_pad_q, 1)  # already padded unless trimmed
+
+    mem = dict(memory_space=_VMEM) if (_VMEM is not None and not interpret) else {}
+    qblk = pl.BlockSpec((1, block_q, d), lambda bh, qi: (bh, qi, 0), **mem)
+    kv_full = pl.BlockSpec((1, n_pad_k, d), lambda bh, qi: (bh, 0, 0), **mem)
+    row_blk = pl.BlockSpec((1, block_q, 1), lambda bh, qi: (bh, qi, 0), **mem)
+
+    dq = pl.pallas_call(
+        functools.partial(_dq_kernel, scale=scale, block_k=block_k, n_actual=n),
+        grid=(b * h, n_pad_q // block_q),
+        in_specs=[qblk, kv_full, kv_full, qblk, row_blk, row_blk],
+        out_specs=qblk,
+        out_shape=jax.ShapeDtypeStruct((b * h, n_pad_q, d), q.dtype),
+        interpret=interpret,
+    )(qb, kb, vb, gb, lse_pad, delta)
+
+    kblk = pl.BlockSpec((1, block_k, d), lambda bh, ki: (bh, ki, 0), **mem)
+    q_full = pl.BlockSpec((1, n_pad_q, d), lambda bh, ki: (bh, 0, 0), **mem)
+    row_full = pl.BlockSpec((1, n_pad_q, 1), lambda bh, ki: (bh, 0, 0), **mem)
+    dk, dv = pl.pallas_call(
+        functools.partial(_dkv_kernel, scale=scale, block_q=block_q, n_actual=n),
+        grid=(b * h, n_pad_k // block_k),
+        in_specs=[q_full, kblk, kblk, q_full, row_full, row_full],
+        out_specs=(kblk, kblk),
+        out_shape=(jax.ShapeDtypeStruct((b * h, n_pad_k, d), k.dtype),
+                   jax.ShapeDtypeStruct((b * h, n_pad_k, d), v.dtype)),
+        interpret=interpret,
+    )(qb, kb, vb, gb, lse_pad, delta)
+
+    return (_from_bh(dq[:, :n], b, h),
+            _from_bh(dk[:, :n], b, h),
+            _from_bh(dv[:, :n], b, h))
 
 
 def _reference(q, k, v, bias=None):
@@ -198,16 +404,21 @@ def _reference(q, k, v, bias=None):
 
 
 def _fwd(q, k, v, bias, block_q, block_k):
-    return _flash_forward(q, k, v, bias, block_q, block_k), (q, k, v, bias)
+    if bias is None:
+        out, lse = _flash_forward(q, k, v, None, block_q, block_k,
+                                  return_lse=True)
+        return out, (q, k, v, None, out, lse)
+    return (_flash_forward(q, k, v, bias, block_q, block_k),
+            (q, k, v, bias, None, None))
 
 
 def _bwd(block_q, block_k, res, g):
-    # Recompute-through-XLA backward: exact gradients, no bwd kernel needed.
-    q, k, v, bias = res
+    q, k, v, bias, o, lse = res
     if bias is None:
-        _, vjp = jax.vjp(lambda q, k, v: _reference(q, k, v, None), q, k, v)
-        dq, dk, dv = vjp(g)
+        dq, dk, dv = _flash_backward(q, k, v, o, lse, g, block_q, block_k)
         return dq, dk, dv, None
+    # Biased path: recompute-through-XLA backward (exact; only used for the
+    # generic-bias API — Swin3D routes through ops.window_attention).
     _, vjp = jax.vjp(_reference, q, k, v, bias)
     return vjp(g)
 

@@ -87,6 +87,80 @@ def test_bias_gradients():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-3)
 
 
+def _all_avals(jaxpr):
+    """All intermediate output avals in a jaxpr, recursing into sub-jaxprs
+    (pallas kernel bodies, loops, custom_vjp branches)."""
+    out = []
+    for eqn in jaxpr.eqns:
+        for var in eqn.outvars:
+            out.append(var.aval)
+        for val in eqn.params.values():
+            if hasattr(val, "jaxpr"):
+                out.extend(_all_avals(val.jaxpr))
+            elif isinstance(val, (list, tuple)):
+                for item in val:
+                    if hasattr(item, "jaxpr"):
+                        out.extend(_all_avals(item.jaxpr))
+    return out
+
+
+def test_backward_never_materializes_n_by_n():
+    """The flash backward must keep all intermediates blocked: no aval with
+    two sequence-sized trailing dims anywhere in the grad jaxpr (the round-1
+    recompute-through-XLA backward produced (B, H, N, N) logits)."""
+    n, d = 512, 32
+    q, k, v = make_qkv(n=n, d=d)
+
+    def loss(q, k, v):
+        return flash_attention(q, k, v, None, 128, 128).sum()
+
+    jaxpr = jax.make_jaxpr(jax.grad(loss, argnums=(0, 1, 2)))(q, k, v)
+    offenders = [
+        a for a in _all_avals(jaxpr.jaxpr)
+        if hasattr(a, "shape") and len(a.shape) >= 2
+        and a.shape[-1] >= n and a.shape[-2] >= n
+    ]
+    assert not offenders, f"found N x N intermediates: {offenders}"
+
+
+def test_gradients_match_at_padded_and_blocked_shapes():
+    """Exercises padded tails (n not a block multiple) and multi-block
+    streaming in both bwd kernels."""
+    for n in (96, 160, 300, 513):
+        q, k, v = make_qkv(n=n, d=32, seed=n)
+        g_spec = jax.random.normal(jax.random.PRNGKey(n), q.shape)
+
+        def loss_flash(q, k, v):
+            return (flash_attention(q, k, v, None, 128, 128) * g_spec).sum()
+
+        def loss_ref(q, k, v):
+            return (attention_reference(q, k, v) * g_spec).sum()
+
+        gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(gf, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-4, rtol=1e-3, err_msg=f"n={n}")
+
+
+def test_value_and_grad_bf16():
+    q, k, v = make_qkv(n=256, d=64, dtype=jnp.bfloat16)
+
+    def loss(q, k, v):
+        return flash_attention(q, k, v, None, 128, 128).astype(jnp.float32).sum()
+
+    gf = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(
+        lambda q, k, v: attention_reference(
+            q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32)
+        ).sum(), argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gr):
+        assert a.dtype == jnp.bfloat16
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   atol=0.12, rtol=0.08)
+
+
 def test_dispatcher_pallas_impl():
     q, k, v = make_qkv(n=100, d=32)
     out = dot_product_attention(q, k, v, impl="pallas")
