@@ -37,7 +37,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.attention import dot_product_attention
+from ..ops.attention import window_attention
 from .layers import gelu_exact
 
 
@@ -75,9 +75,13 @@ def relative_position_index(window, full_window=None) -> np.ndarray:
     return rel.sum(-1)
 
 
-def shift_attention_mask(padded_dhw, window, shift) -> np.ndarray:
-    """(num_windows, N, N) additive mask (-100 across shifted-region
-    boundaries), or None-equivalent zeros when no shift."""
+def shift_region_ids(padded_dhw, window, shift) -> np.ndarray:
+    """(num_windows, N) int32 region labels for shifted-window masking.
+
+    Two window positions may attend to each other iff their labels match;
+    the additive -100 mask is derived from these (in-kernel on the Pallas
+    path — the labels are what crosses the HBM boundary, N ints per window
+    instead of N^2 floats)."""
     tp, hp, wp = padded_dhw
     img = np.zeros((tp, hp, wp), dtype=np.int32)
     cnt = 0
@@ -92,9 +96,15 @@ def shift_attention_mask(padded_dhw, window, shift) -> np.ndarray:
         cnt += 1
     wt, wh, ww = window
     wins = img.reshape(tp // wt, wt, hp // wh, wh, wp // ww, ww)
-    wins = wins.transpose(0, 2, 4, 1, 3, 5).reshape(-1, wt * wh * ww)
-    mask = (wins[:, None, :] != wins[:, :, None]).astype(np.float32) * -100.0
-    return mask
+    return wins.transpose(0, 2, 4, 1, 3, 5).reshape(-1, wt * wh * ww)
+
+
+def shift_attention_mask(padded_dhw, window, shift) -> np.ndarray:
+    """(num_windows, N, N) additive mask (-100 across shifted-region
+    boundaries) — the materialized form of ``shift_region_ids`` (XLA path
+    and tests)."""
+    wins = shift_region_ids(padded_dhw, window, shift)
+    return (wins[:, None, :] != wins[:, :, None]).astype(np.float32) * -100.0
 
 
 def window_partition(x, window):
@@ -122,8 +132,11 @@ class WindowAttention3D(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, mask=None):
-        """x: (B*nW, N, C); mask: (nW, N, N) numpy/array or None."""
+    def __call__(self, x, region_id=None):
+        """x: (B*nW, N, C); region_id: (nW, N) int32 numpy array (shifted
+        blocks) or None. The relative-position bias stays factored as
+        (H, N, N) + region labels all the way into the attention op — the
+        (B*nW, H, N, N) broadcast of round 1 is never materialized."""
         bnw, n, c = x.shape
         head_dim = self.dim // self.num_heads
         qkv = nn.Dense(3 * self.dim, dtype=self.dtype, name="qkv")(x)
@@ -139,20 +152,8 @@ class WindowAttention3D(nn.Module):
             jnp.float32,
         )
         idx = relative_position_index(self.window, full).reshape(-1)
-        bias = table[idx].reshape(n, n, self.num_heads)
-        bias = bias.transpose(2, 0, 1)[None].astype(x.dtype)  # (1, H, N, N)
-        if mask is not None:
-            # Shift mask differs per window within a frame, so the combined
-            # bias is tiled to the full (B*nW, H, N, N) batch.
-            nw = mask.shape[0]
-            m = jnp.asarray(mask, dtype=x.dtype)[None, :, None]  # (1, nW, 1, N, N)
-            full_bias = bias[None] + m  # (1, nW, H, N, N)
-            fb = jnp.broadcast_to(
-                full_bias, (bnw // nw, nw, self.num_heads, n, n)
-            ).reshape(-1, self.num_heads, n, n)
-            out = dot_product_attention(q, k, v, bias=fb)
-        else:
-            out = dot_product_attention(q, k, v, bias=bias)
+        bias = table[idx].reshape(n, n, self.num_heads).transpose(2, 0, 1)
+        out = window_attention(q, k, v, bias, region_id=region_id)
         out = out.reshape(bnw, n, self.dim)
         return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
 
@@ -198,14 +199,14 @@ class SwinBlock3D(nn.Module):
 
         if any(shift):
             hx = jnp.roll(hx, shift=(-shift[0], -shift[1], -shift[2]), axis=(1, 2, 3))
-            mask = shift_attention_mask((tp, hp, wp), window, shift)
+            region_id = shift_region_ids((tp, hp, wp), window, shift)
         else:
-            mask = None
+            region_id = None
 
         wins = window_partition(hx, window)
         wins = WindowAttention3D(self.dim, window, self.num_heads,
                                  full_window=self.window,
-                                 dtype=self.dtype, name="attn")(wins, mask)
+                                 dtype=self.dtype, name="attn")(wins, region_id)
         hx = window_merge(wins, window, (tp, hp, wp), b)
 
         if any(shift):

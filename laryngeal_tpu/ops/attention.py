@@ -69,6 +69,51 @@ def dot_product_attention(
     return jax.nn.dot_product_attention(q, k, v, bias=bias)
 
 
+def window_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    bias: jax.Array,
+    region_id=None,
+    impl: Optional[str] = None,
+) -> jax.Array:
+    """Swin3D windowed attention over (B·nW, N, H, D).
+
+    bias: (H, N, N) relative-position bias (table gather, done by the model).
+    region_id: (nW, N) int32 shifted-window region labels (window ``w`` of
+    each frame uses row ``w % nW``), or None when the block is unshifted.
+
+    On TPU this dispatches to the fused Pallas kernel
+    (ops.window_attention) — the shift mask is recomputed in-kernel from
+    region_id and the bias streams per-head, so the broadcast
+    (B·nW, H, N, N) bias tensor of the generic path never exists. Elsewhere
+    (or for non-sublane-aligned clamped windows) it falls back to XLA with
+    exactly the old materialized-bias semantics.
+    """
+    impl = impl or get_attention_impl()
+    n, d = q.shape[1], q.shape[-1]
+    if impl == "pallas":
+        from .window_attention import supports_shape, window_attention_pallas
+
+        if supports_shape(n, d):
+            return window_attention_pallas(q, k, v, bias, region_id)
+    # XLA fallback: materialize the combined bias (fine at CPU/test scale).
+    bnw = q.shape[0]
+    h = bias.shape[0]
+    full = bias[None]  # (1, H, N, N)
+    if region_id is not None:
+        from .window_attention import region_mask
+
+        m = region_mask(region_id)  # (nW, N, N)
+        nw = m.shape[0]
+        full = full[None] + m[None, :, None]  # (1, nW, H, N, N)
+        full = jnp.broadcast_to(
+            full.astype(q.dtype), (bnw // nw, nw, h, n, n)).reshape(bnw, h, n, n)
+    else:
+        full = full.astype(q.dtype)
+    return jax.nn.dot_product_attention(q, k, v, bias=full)
+
+
 def attention_reference(q, k, v, bias=None):
     """Unfused einsum reference used in kernel tests."""
     d = q.shape[-1]
