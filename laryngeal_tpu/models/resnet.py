@@ -136,6 +136,9 @@ class ResNetLSTMConfig:
     num_layers: int = 2
     dropout: float = 0.5
     dtype: Any = jnp.float32
+    # Trunk stage sizes — (3,4,6,3) is the reference ResNet50; smaller values
+    # exist for cheap multichip dryruns/tests only.
+    stage_sizes: Any = (3, 4, 6, 3)
 
 
 class VideoResNet50LSTM(nn.Module):
@@ -150,7 +153,8 @@ class VideoResNet50LSTM(nn.Module):
         frames = pixel_values.reshape(b * t, h, w, c)
         # Backbone BN stats update in train mode even though its params are
         # frozen by the optimizer mask (reference behavior, see module doc).
-        feats = ResNet50(dtype=cfg.dtype, name="resnet50")(frames, train=train)
+        feats = ResNet50(dtype=cfg.dtype, stage_sizes=tuple(cfg.stage_sizes),
+                         name="resnet50")(frames, train=train)
         feats = feats.reshape(b, t, -1)
         seq = LSTM(cfg.hidden_size, cfg.num_layers, cfg.dropout,
                    dtype=cfg.dtype, name="lstm")(feats, train=train)
@@ -163,8 +167,10 @@ class VideoResNet50LSTM(nn.Module):
 
 
 def create_resnet50_lstm(hidden_size: int = 256, num_layers: int = 2,
-                         dropout: float = 0.5, dtype=jnp.float32, **_) -> VideoResNet50LSTM:
-    return VideoResNet50LSTM(ResNetLSTMConfig(hidden_size, num_layers, dropout, dtype))
+                         dropout: float = 0.5, dtype=jnp.float32,
+                         stage_sizes=(3, 4, 6, 3), **_) -> VideoResNet50LSTM:
+    return VideoResNet50LSTM(ResNetLSTMConfig(hidden_size, num_layers, dropout,
+                                              dtype, tuple(stage_sizes)))
 
 
 def backbone_param_mask(params) -> Any:

@@ -37,12 +37,15 @@ def make_train_step(
     mesh=None,
     crop: int = 224,
     tp: bool = False,
+    return_grads: bool = False,
 ) -> Callable:
     """Returns train_step(state, pixel_u8, labels, mask, rng) -> (state, metrics).
 
     tp=True leaves the state's shardings unconstrained so tensor-parallel
     (model-axis) param shardings applied via parallel.tp.shard_train_state
-    propagate through the step instead of being forced to replicate."""
+    propagate through the step instead of being forced to replicate.
+    return_grads=True adds the raw gradient pytree to metrics["grads"]
+    (debug/equivalence-testing only — it defeats buffer donation savings)."""
     loss_fn = make_loss_fn(loss, pos_weight)
     get_probs = probs_fn(loss)
 
@@ -86,9 +89,11 @@ def make_train_step(
             "count": jnp.sum(valid),
             "probs": probs,
         }
+        if return_grads:
+            metrics["grads"] = grads
         return new_state, metrics
 
-    donate = (0,)
+    donate = (0,) if not return_grads else ()
     if mesh is None:
         return jax.jit(step, donate_argnums=donate)
     rep = replicated_sharding(mesh)
@@ -96,11 +101,14 @@ def make_train_step(
     if tp:
         return jax.jit(step, donate_argnums=donate,
                        in_shardings=(None, data, data, data, rep))
+    out_metrics = {"loss": rep, "correct": rep, "count": rep, "probs": data}
+    if return_grads:
+        out_metrics["grads"] = rep
     return jax.jit(
         step,
         donate_argnums=donate,
         in_shardings=(rep, data, data, data, rep),
-        out_shardings=(rep, {"loss": rep, "correct": rep, "count": rep, "probs": data}),
+        out_shardings=(rep, out_metrics),
     )
 
 
