@@ -49,8 +49,14 @@ except Exception:  # pragma: no cover
 
 
 def _attention_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, block_k, n_actual):
-    """One (batch*head, q_block) program: online softmax over K/V blocks."""
-    q = q_ref[0].astype(jnp.float32)  # (block_q, D)
+    """One (batch*head, q_block) program: online softmax over K/V blocks.
+
+    Matmuls run in the INPUT dtype (bf16 on the training/inference path)
+    with f32 accumulation via preferred_element_type — casting operands to
+    f32 first would put the MXU on its slow f32 path (measured ~3x on the
+    QK^T/PV dots). Softmax statistics stay f32.
+    """
+    q = q_ref[0]  # (block_q, D), input dtype
     block_q, d = q.shape
     n_pad = k_ref.shape[1]
     num_kb = n_pad // block_k
@@ -61,11 +67,11 @@ def _attention_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, block_k, n_actual):
 
     def body(i, carry):
         m, l, acc = carry
-        k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        k = k_ref[0, pl.ds(i * block_k, block_k), :]
+        v = v_ref[0, pl.ds(i * block_k, block_k), :]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale  # (block_q, block_k)
+        ) * scale  # (block_q, block_k) f32
         # Mask keys beyond the true sequence length (zero-padded tail).
         col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
         s = jnp.where(col + i * block_k < n_actual, s, -1e30)
@@ -75,7 +81,8 @@ def _attention_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, block_k, n_actual):
         alpha = jnp.exp(m - m_new)
         l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
         acc_new = acc * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
         return m_new, l_new, acc_new
 
@@ -87,7 +94,7 @@ def _attention_kernel_lse(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale,
                           block_k, n_actual):
     """Forward variant that also emits the per-row logsumexp — the residual
     the flash backward needs to recompute P blockwise."""
-    q = q_ref[0].astype(jnp.float32)
+    q = q_ref[0]
     block_q, d = q.shape
     n_pad = k_ref.shape[1]
     num_kb = n_pad // block_k
@@ -98,8 +105,8 @@ def _attention_kernel_lse(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale,
 
     def body(i, carry):
         m, l, acc = carry
-        k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        k = k_ref[0, pl.ds(i * block_k, block_k), :]
+        v = v_ref[0, pl.ds(i * block_k, block_k), :]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale
@@ -110,7 +117,8 @@ def _attention_kernel_lse(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale,
         alpha = jnp.exp(m - m_new)
         l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
         acc_new = acc * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
         return m_new, l_new, acc_new
 
@@ -122,18 +130,23 @@ def _attention_kernel_lse(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale,
 
 def _dq_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref, dq_ref, *,
                scale, block_k, n_actual):
-    """dQ for one (batch*head, q_block): stream K/V, recompute P from lse."""
-    q = q_ref[0].astype(jnp.float32)        # (bq, D)
-    g = g_ref[0].astype(jnp.float32)        # (bq, D)
-    lse = lse_ref[0]                         # (bq, 1)
-    delta = delta_ref[0]                     # (bq, 1)
+    """dQ for one (batch*head, q_block): stream K/V, recompute P from lse.
+
+    Matmul operands stay in the input dtype (bf16 MXU path); P/dS are
+    computed f32 and cast back for their dots — the standard TPU flash-bwd
+    precision scheme.
+    """
+    q = q_ref[0]                             # (bq, D)
+    g = g_ref[0]                             # (bq, D)
+    lse = lse_ref[0]                         # (bq, 1) f32
+    delta = delta_ref[0]                     # (bq, 1) f32
     block_q, d = q.shape
     n_pad = k_ref.shape[1]
     num_kb = n_pad // block_k
 
     def body(i, acc):
-        k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        k = k_ref[0, pl.ds(i * block_k, block_k), :]
+        v = v_ref[0, pl.ds(i * block_k, block_k), :]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale
@@ -142,7 +155,7 @@ def _dq_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref, dq_ref, *,
         dp = jax.lax.dot_general(
             g, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # (bq, bk)
-        ds = p * (dp - delta)
+        ds = (p * (dp - delta)).astype(k.dtype)
         return acc + jax.lax.dot_general(
             ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -160,8 +173,8 @@ def _dkv_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
     => dS = 0; P^T dO adds zero rows), so no row masking is needed; padded
     key rows of the dk/dv outputs are sliced off by the caller.
     """
-    k = k_ref[0].astype(jnp.float32)        # (bk, D)
-    v = v_ref[0].astype(jnp.float32)
+    k = k_ref[0]                             # (bk, D)
+    v = v_ref[0]
     block_k, d = k.shape
     n_pad = q_ref.shape[1]
     num_qb = n_pad // block_q
@@ -170,8 +183,8 @@ def _dkv_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
 
     def body(i, carry):
         dk_acc, dv_acc = carry
-        q = q_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
-        g = g_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        q = q_ref[0, pl.ds(i * block_q, block_q), :]
+        g = g_ref[0, pl.ds(i * block_q, block_q), :]
         lse = lse_ref[0, pl.ds(i * block_q, block_q), :]    # (bq, 1)
         delta = delta_ref[0, pl.ds(i * block_q, block_q), :]
         s = jax.lax.dot_general(
@@ -179,12 +192,13 @@ def _dkv_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
         ) * scale  # (bq, bk)
         p = jnp.where(col < n_actual, jnp.exp(s - lse), 0.0)
         dv_acc = dv_acc + jax.lax.dot_general(
-            p, g, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            p.astype(g.dtype), g, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )  # (bk, D)
         dp = jax.lax.dot_general(
             g, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        ds = p * (dp - delta)
+        ds = (p * (dp - delta)).astype(q.dtype)
         dk_acc = dk_acc + jax.lax.dot_general(
             ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -199,9 +213,9 @@ def _dkv_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
 def _attention_kernel_bias(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale,
                            block_k, n_actual):
     """Bias variant: additive logits bias (per batch*head) streams in K-blocks
-    alongside K/V — serves Swin3D's relative-position-bias + shift-mask
-    windowed attention."""
-    q = q_ref[0].astype(jnp.float32)
+    alongside K/V — the generic biased-attention API (Swin3D uses the fused
+    ops.window_attention kernel instead)."""
+    q = q_ref[0]
     block_q, d = q.shape
     n_pad = k_ref.shape[1]
     num_kb = n_pad // block_k
@@ -212,8 +226,8 @@ def _attention_kernel_bias(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale,
 
     def body(i, carry):
         m, l, acc = carry
-        k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        k = k_ref[0, pl.ds(i * block_k, block_k), :]
+        v = v_ref[0, pl.ds(i * block_k, block_k), :]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale
@@ -226,7 +240,8 @@ def _attention_kernel_bias(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale,
         alpha = jnp.exp(m - m_new)
         l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
         acc_new = acc * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
         return m_new, l_new, acc_new
 
@@ -347,33 +362,52 @@ def _flash_backward(q, k, v, o, lse_pad, g, block_q, block_k,
         interpret = jax.default_backend() != "tpu"
     scale = 1.0 / math.sqrt(d)
 
+    # Backward blocks are chosen independently of the forward's (lse is
+    # per-row; re-blocking only needs a re-pad). The dq kernel can afford a
+    # single big k-block like the fwd; the dk/dv kernel holds more live
+    # tiles (s, p, dp, ds + two accumulators) and VMEM-OOMs there — it
+    # streams classic 512 blocks.
+    npad128 = -(-n // 128) * 128
+    dq_block_q = min(256, npad128)
+    dq_block_k = npad128 if npad128 <= 4096 else 512
+    block_q = min(512, npad128)
+    block_k = min(512, npad128)
+
     # delta = rowsum(dO * O): O(N*D) elementwise in XLA; shaped (BH, N, 1)
     # like lse (see the Mosaic block-dim note in _flash_forward).
     delta = jnp.sum(g.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
     delta = delta.transpose(0, 2, 1).reshape(b * h, n, 1)
 
+    lse_pad = lse_pad[:, :n]  # trim the forward's padding before re-blocking
     n_pad_q = -(-n // block_q) * block_q
     n_pad_k = -(-n // block_k) * block_k
-    qb = _pad_to(_to_bh(q), n_pad_q, 1)
-    gb = _pad_to(_to_bh(g), n_pad_q, 1)
-    kb = _pad_to(_to_bh(k), n_pad_k, 1)
-    vb = _pad_to(_to_bh(v), n_pad_k, 1)
-    delta = _pad_to(delta, n_pad_q, 1)
-    lse_pad = _pad_to(lse_pad, n_pad_q, 1)  # already padded unless trimmed
+    # dq grid uses its own (finer q, full k) padding.
+    n_pad_q_dq = -(-n // dq_block_q) * dq_block_q
+    n_pad_k_dq = -(-n // dq_block_k) * dq_block_k
+    n_pad_q_max = max(n_pad_q, n_pad_q_dq)
+    n_pad_k_max = max(n_pad_k, n_pad_k_dq)
+    qb = _pad_to(_to_bh(q), n_pad_q_max, 1)
+    gb = _pad_to(_to_bh(g), n_pad_q_max, 1)
+    kb = _pad_to(_to_bh(k), n_pad_k_max, 1)
+    vb = _pad_to(_to_bh(v), n_pad_k_max, 1)
+    delta = _pad_to(delta, n_pad_q_max, 1)
+    lse_pad = _pad_to(lse_pad, n_pad_q_max, 1)
 
     mem = dict(memory_space=_VMEM) if (_VMEM is not None and not interpret) else {}
-    qblk = pl.BlockSpec((1, block_q, d), lambda bh, qi: (bh, qi, 0), **mem)
-    kv_full = pl.BlockSpec((1, n_pad_k, d), lambda bh, qi: (bh, 0, 0), **mem)
-    row_blk = pl.BlockSpec((1, block_q, 1), lambda bh, qi: (bh, qi, 0), **mem)
+    dq_qblk = pl.BlockSpec((1, dq_block_q, d), lambda bh, qi: (bh, qi, 0), **mem)
+    dq_kv = pl.BlockSpec((1, n_pad_k_dq, d), lambda bh, qi: (bh, 0, 0), **mem)
+    dq_row = pl.BlockSpec((1, dq_block_q, 1), lambda bh, qi: (bh, qi, 0), **mem)
 
     dq = pl.pallas_call(
-        functools.partial(_dq_kernel, scale=scale, block_k=block_k, n_actual=n),
-        grid=(b * h, n_pad_q // block_q),
-        in_specs=[qblk, kv_full, kv_full, qblk, row_blk, row_blk],
-        out_specs=qblk,
-        out_shape=jax.ShapeDtypeStruct((b * h, n_pad_q, d), q.dtype),
+        functools.partial(_dq_kernel, scale=scale, block_k=dq_block_k,
+                          n_actual=n),
+        grid=(b * h, n_pad_q_dq // dq_block_q),
+        in_specs=[dq_qblk, dq_kv, dq_kv, dq_qblk, dq_row, dq_row],
+        out_specs=dq_qblk,
+        out_shape=jax.ShapeDtypeStruct((b * h, n_pad_q_dq, d), q.dtype),
         interpret=interpret,
-    )(qb, kb, vb, gb, lse_pad, delta)
+    )(qb[:, :n_pad_q_dq], kb[:, :n_pad_k_dq], vb[:, :n_pad_k_dq],
+      gb[:, :n_pad_q_dq], lse_pad[:, :n_pad_q_dq], delta[:, :n_pad_q_dq])
 
     kblk = pl.BlockSpec((1, block_k, d), lambda bh, ki: (bh, ki, 0), **mem)
     q_full = pl.BlockSpec((1, n_pad_q, d), lambda bh, ki: (bh, 0, 0), **mem)
@@ -386,7 +420,8 @@ def _flash_backward(q, k, v, o, lse_pad, g, block_q, block_k,
         out_shape=(jax.ShapeDtypeStruct((b * h, n_pad_k, d), k.dtype),
                    jax.ShapeDtypeStruct((b * h, n_pad_k, d), v.dtype)),
         interpret=interpret,
-    )(qb, kb, vb, gb, lse_pad, delta)
+    )(qb[:, :n_pad_q], kb[:, :n_pad_k], vb[:, :n_pad_k], gb[:, :n_pad_q],
+      lse_pad[:, :n_pad_q], delta[:, :n_pad_q])
 
     return (_from_bh(dq[:, :n], b, h),
             _from_bh(dk[:, :n], b, h),

@@ -53,10 +53,13 @@ _MASK_VALUE = -100.0  # torch swin uses -100 across shifted-region boundaries
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, rid_ref, o_ref, *, scale):
-    """One (head, batch·window) program: full-window softmax attention."""
-    q = q_ref[0, 0].astype(jnp.float32)  # (N, D)
-    k = k_ref[0, 0].astype(jnp.float32)
-    v = v_ref[0, 0].astype(jnp.float32)
+    """One (head, batch·window) program: full-window softmax attention.
+
+    Matmuls run in the input dtype (bf16 MXU path) with f32 accumulation;
+    softmax is f32."""
+    q = q_ref[0, 0]  # (N, D)
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale
@@ -65,17 +68,18 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, rid_ref, o_ref, *, scale):
     s = jnp.where(rid != rid.reshape(1, -1), s + _MASK_VALUE, s)
     p = jax.nn.softmax(s, axis=-1)
     o_ref[0, 0] = jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     ).astype(o_ref.dtype)
 
 
 def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, rid_ref, g_ref,
                 dq_ref, dk_ref, dv_ref, dbias_ref, *, scale):
     """Recompute P, emit dq/dk/dv for this (h, bw) and accumulate dbias[h]."""
-    q = q_ref[0, 0].astype(jnp.float32)
-    k = k_ref[0, 0].astype(jnp.float32)
-    v = v_ref[0, 0].astype(jnp.float32)
-    g = g_ref[0, 0].astype(jnp.float32)
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    g = g_ref[0, 0]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale
@@ -85,16 +89,18 @@ def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, rid_ref, g_ref,
     p = jax.nn.softmax(s, axis=-1)
 
     dv = jax.lax.dot_general(
-        p, g, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        p.astype(g.dtype), g, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
     dp = jax.lax.dot_general(
         g, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
     delta = jnp.sum(p * dp, axis=-1, keepdims=True)
     ds = p * (dp - delta)  # == d(loss)/d(logits) == d/d(bias) contribution
+    ds_lp = ds.astype(q.dtype)
     dq_ref[0, 0] = (jax.lax.dot_general(
-        ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ds_lp, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale).astype(dq_ref.dtype)
     dk_ref[0, 0] = (jax.lax.dot_general(
-        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ds_lp, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale).astype(dk_ref.dtype)
     dv_ref[0, 0] = dv.astype(dv_ref.dtype)
 
