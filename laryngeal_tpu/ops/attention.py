@@ -57,7 +57,13 @@ def dot_product_attention(
     (used by Swin3D's relative position bias + shift masks).
     """
     impl = impl or get_attention_impl()
-    if impl == "pallas" and q.shape[-1] <= 128:
+    n = max(q.shape[1], k.shape[1])
+    # Short sequences go to XLA regardless of impl: the pallas kernel pads
+    # to 128-lane blocks and pays per-program grid overhead, which loses
+    # badly at TimeSformer scale (spatial N=197 / temporal N=32 — measured
+    # 2x slower than XLA for the whole model on v5e). The flash kernel's
+    # O(N*D)-memory advantage only matters for long sequences anyway.
+    if impl == "pallas" and q.shape[-1] <= 128 and n >= 512:
         from .flash_attention import flash_attention
 
         # Block choice (swept on v5e at the ViViT-B shape, B8 N3137 H12 D64
@@ -65,7 +71,6 @@ def dot_product_attention(
         # block, a single k-block with small q-blocks beats 512x512 by ~17%
         # (no online-rescale traffic; one exp pass). Larger sequences fall
         # back to classic 512x512 streaming.
-        n = max(q.shape[1], k.shape[1])
         n_pad = -(-n // 128) * 128
         if n_pad <= 4096:  # s-tile 256*n_pad*f32 <= 4 MB
             return flash_attention(q, k, v, bias, min(256, n_pad), n_pad)
