@@ -98,7 +98,8 @@ def main(argv=None, model_default=None):
     # Batch mode (2d-lstm inference.py:250-351): walk the tree, CSV + JSON.
     videos = sorted(Path(args.video_dir).rglob("*.mp4"))
     logger.info("Batch inference over %d videos", len(videos))
-    results = [predictor.predict_video(str(v)) for v in videos]
+    results = predictor.predict_videos(
+        [str(v) for v in videos], batch_size=args.batch_size)
     csv_path = results_dir / "batch_results.csv"
     with open(csv_path, "w", newline="") as f:
         w = csv.writer(f)

@@ -58,3 +58,72 @@ def test_clip_averaged_eval(tmp_path):
     a1, _, _ = ev_u.evaluate(state, sampling_method="u1", eval_clips=1)
     a5, _, _ = ev_u.evaluate(state, sampling_method="u5", eval_clips=5)
     assert a1 == pytest.approx(a5)
+
+
+def test_predict_videos_matches_predict_video(tmp_path):
+    """Batched serving path returns the same schema and (to decode-backend
+    tolerance) the same probabilities as the per-video path."""
+    import numpy as np
+    from laryngeal_tpu.data.synthetic import make_synthetic_dataset
+    from laryngeal_tpu.infer.predictor import Predictor
+    from laryngeal_tpu.models.registry import get_model_spec
+    from laryngeal_tpu.models.vivit import VivitConfig, VivitForVideoClassification
+    from laryngeal_tpu.train.state import create_train_state
+    import jax
+    import jax.numpy as jnp
+
+    make_synthetic_dataset(str(tmp_path), {"test": 3}, num_frames=12, h=64, w=64, seed=2)
+    videos = sorted((tmp_path / "test").rglob("*.mp4"))
+    assert len(videos) == 6
+
+    cfg = VivitConfig(hidden_size=32, num_layers=1, num_heads=2,
+                      intermediate_size=64, image_size=64, num_frames=4,
+                      num_classes=2)
+    model = VivitForVideoClassification(cfg)
+    spec = get_model_spec("vivit")
+    state = create_train_state(model, jax.random.PRNGKey(0),
+                               jnp.zeros((1, 4, 64, 64, 3)), optimizer="adamw",
+                               learning_rate=1e-3)
+    pred = Predictor(model, spec, state, num_frames=4, crop_size=64)
+
+    singles = [pred.predict_video(str(v)) for v in videos]
+    pred.sampler.reset()
+    batched = pred.predict_videos([str(v) for v in videos], batch_size=4)
+
+    assert len(batched) == len(singles)
+    for s, b in zip(singles, batched):
+        assert b["video_path"] == s["video_path"]
+        assert b["frame_indices"] == s["frame_indices"]
+        assert set(b) == set(s)
+        # cv2 vs native-libav scaling may differ by a pixel LSB; probs agree
+        # to a loose tolerance on an untrained model.
+        for c in b["probabilities"]:
+            assert abs(b["probabilities"][c] - s["probabilities"][c]) < 0.05
+
+
+def test_predict_videos_skips_unreadable(tmp_path):
+    import numpy as np
+    from laryngeal_tpu.data.synthetic import make_synthetic_dataset
+    from laryngeal_tpu.infer.predictor import Predictor
+    from laryngeal_tpu.models.registry import get_model_spec
+    from laryngeal_tpu.models.vivit import VivitConfig, VivitForVideoClassification
+    from laryngeal_tpu.train.state import create_train_state
+    import jax
+    import jax.numpy as jnp
+
+    make_synthetic_dataset(str(tmp_path), {"test": 1}, num_frames=12, h=64, w=64, seed=3)
+    videos = [str(v) for v in sorted((tmp_path / "test").rglob("*.mp4"))]
+    bogus = tmp_path / "bogus.mp4"
+    bogus.write_bytes(b"not a video")
+
+    cfg = VivitConfig(hidden_size=32, num_layers=1, num_heads=2,
+                      intermediate_size=64, image_size=64, num_frames=4,
+                      num_classes=2)
+    model = VivitForVideoClassification(cfg)
+    spec = get_model_spec("vivit")
+    state = create_train_state(model, jax.random.PRNGKey(0),
+                               jnp.zeros((1, 4, 64, 64, 3)), optimizer="adamw",
+                               learning_rate=1e-3)
+    pred = Predictor(model, spec, state, num_frames=4, crop_size=64)
+    results = pred.predict_videos(videos + [str(bogus)], batch_size=4)
+    assert len(results) == len(videos)
