@@ -112,7 +112,11 @@ class LSTM(nn.Module):
             b_ih = self.param(f"b_ih_l{layer}", torch_uniform, (4 * h_dim,))
             b_hh = self.param(f"b_hh_l{layer}", torch_uniform, (4 * h_dim,))
 
-            x_gates = x.astype(self.dtype) @ w_ih.astype(self.dtype) + (b_ih + b_hh)
+            # Bias sum must be cast too: f32 biases would promote the gates
+            # (and hence the scan carry) to f32, crashing bf16 runs with a
+            # carry-dtype mismatch against the bf16-initialized (h, c).
+            x_gates = (x.astype(self.dtype) @ w_ih.astype(self.dtype)
+                       + (b_ih + b_hh).astype(self.dtype))
 
             def step(carry, xg):
                 h, c = carry
