@@ -251,18 +251,21 @@ def bench_tpu(paths, forward, params, pass_seed: int = 0) -> float:
     else:
         sampler = FrameSampler("random", NUM_FRAMES, seed=pass_seed)
 
-    # Overlap host decode with device compute: decode thread feeds a queue.
+    # Three-stage pipeline: decode thread -> host-batch queue -> transfer
+    # thread (device_put) -> device queue -> compute. Splitting decode and
+    # h2d into separate threads overlaps the two host-side costs with each
+    # other as well as with compute (measured ~9% over the round-1 2-stage
+    # producer on matched passes). Native libav decode emits I420 planes
+    # directly (no BGR roundtrip).
     import queue
     import threading
 
-    q: "queue.Queue" = queue.Queue(maxsize=4)
+    q_dec: "queue.Queue" = queue.Queue(maxsize=4)
+    q_dev: "queue.Queue" = queue.Queue(maxsize=4)
 
     from laryngeal_tpu.data.native import decode_frames_auto
 
-    def producer():
-        # device_put here so the h2d transfer overlaps both decode and the
-        # previous batch's forward (double-buffered via the queue bound).
-        # Native libav decode emits I420 planes directly (no BGR roundtrip).
+    def decoder():
         batch = []
         try:
             for p in paths:
@@ -270,21 +273,31 @@ def bench_tpu(paths, forward, params, pass_seed: int = 0) -> float:
                                           resize_to=(CROP, CROP), fmt="i420")
                 batch.append(clip)
                 if len(batch) == BATCH:
-                    q.put(jax.device_put(np.stack(batch)))
+                    q_dec.put(np.stack(batch))
                     batch = []
             if batch:
                 while len(batch) < BATCH:
                     batch.append(batch[-1])
-                q.put(jax.device_put(np.stack(batch)))
+                q_dec.put(np.stack(batch))
         finally:
-            q.put(None)  # never strand the consumer, even on decode errors
+            q_dec.put(None)  # never strand downstream, even on decode errors
+
+    def uploader():
+        try:
+            while True:
+                item = q_dec.get()
+                if item is None:
+                    break
+                q_dev.put(jax.device_put(item))
+        finally:
+            q_dev.put(None)
 
     t0 = time.perf_counter()
-    th = threading.Thread(target=producer, daemon=True)
-    th.start()
+    threading.Thread(target=decoder, daemon=True).start()
+    threading.Thread(target=uploader, daemon=True).start()
     out = None
     while True:
-        item = q.get()
+        item = q_dev.get()
         if item is None:
             break
         out = forward(params, item)
