@@ -227,12 +227,24 @@ def bench_train_step() -> float:
     key = jax.random.PRNGKey(1)
 
     ITERS = 6
-    state, m = step(state, pixel, labels, mask, key)  # compile
-    np.asarray(m["loss"])
+
+    # Chain the iterations inside ONE jit (fori_loop with the state as the
+    # carry) per the microbenchmark rule — separate dispatches would charge
+    # per-call relay latency to the step time. The inner jitted step inlines
+    # under the outer trace.
+    @jax.jit
+    def chain(state):
+        def body(i, carry):
+            st, _ = carry
+            st, m = step(st, pixel, labels, mask, key)
+            return st, m["loss"]
+        return jax.lax.fori_loop(0, ITERS, body, (state, jnp.float32(0)))
+
+    state, loss = chain(state)  # compile + warm
+    np.asarray(loss)
     t0 = time.perf_counter()
-    for _ in range(ITERS):
-        state, m = step(state, pixel, labels, mask, key)
-    np.asarray(m["loss"])
+    _, loss = chain(state)
+    np.asarray(loss)
     return ITERS * BATCH / (time.perf_counter() - t0)
 
 
@@ -375,7 +387,7 @@ def main():
 
     # Stage-share attribution at the e2e operating point: per-clip seconds
     # spent in each (overlapped) stage vs the serial bottleneck.
-    clip_mb = BATCH and (NUM_FRAMES * CROP * CROP * 3 / 2) / 1e6
+    clip_mb = (NUM_FRAMES * CROP * CROP * 3 / 2) / 1e6  # I420 wire bytes
     t_decode = 1.0 / max(decode_rate, 1e-9)
     t_xfer = clip_mb / max(xfer["h2d_mbps"], 1e-9)
     t_compute = 1.0 / max(compute_rate, 1e-9)

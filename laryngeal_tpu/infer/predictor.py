@@ -198,14 +198,21 @@ class Predictor:
             try:
                 with ThreadPoolExecutor(max_workers=workers) as pool:
                     batch_plans, batch_clips = [], []
-                    for plan, clip in zip(plans, pool.map(decode, plans)):
-                        if clip is None:
-                            continue
-                        batch_plans.append(plan)
-                        batch_clips.append(clip)
-                        if len(batch_clips) == batch_size:
-                            q.put((batch_plans, jnp.asarray(np.stack(batch_clips))))
-                            batch_plans, batch_clips = [], []
+                    # Decode one batch-worth at a time: submitting every plan
+                    # up front would buffer the whole tree's decoded clips
+                    # (~5 MB each) ahead of the consumer — the queue bound
+                    # must cover decode output, not just device batches.
+                    for start in range(0, len(plans), batch_size):
+                        chunk = plans[start:start + batch_size]
+                        for plan, clip in zip(chunk, pool.map(decode, chunk)):
+                            if clip is None:
+                                continue
+                            batch_plans.append(plan)
+                            batch_clips.append(clip)
+                            if len(batch_clips) == batch_size:
+                                q.put((batch_plans,
+                                       jnp.asarray(np.stack(batch_clips))))
+                                batch_plans, batch_clips = [], []
                     if batch_clips:
                         n_real = len(batch_clips)
                         while len(batch_clips) < batch_size:  # keep ONE jit shape

@@ -353,20 +353,21 @@ def _flash_forward(q, k, v, bias, block_q, block_k,
     return _from_bh(out[:, :n], b, h)
 
 
-def _flash_backward(q, k, v, o, lse_pad, g, block_q, block_k,
+def _flash_backward(q, k, v, o, lse_pad, g,
                     interpret: Optional[bool] = None):
     """dq/dk/dv via the two-kernel flash scheme. ``lse_pad`` is the forward's
-    (B*H, n_pad_q) logsumexp. No (N, N) tensor is materialized in HBM."""
+    (B*H, n_pad_q) logsumexp. No (N, N) tensor is materialized in HBM.
+
+    Block sizes are chosen HERE, independently of the forward's (lse is
+    per-row; re-blocking only needs a re-pad): the dq kernel can afford a
+    single big k-block like the fwd; the dk/dv kernel holds more live tiles
+    (s, p, dp, ds + two accumulators) and VMEM-OOMs there — it streams
+    classic 512 blocks."""
     b, n, h, d = q.shape
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     scale = 1.0 / math.sqrt(d)
 
-    # Backward blocks are chosen independently of the forward's (lse is
-    # per-row; re-blocking only needs a re-pad). The dq kernel can afford a
-    # single big k-block like the fwd; the dk/dv kernel holds more live
-    # tiles (s, p, dp, ds + two accumulators) and VMEM-OOMs there — it
-    # streams classic 512 blocks.
     npad128 = -(-n // 128) * 128
     dq_block_q = min(256, npad128)
     dq_block_k = npad128 if npad128 <= 4096 else 512
@@ -450,7 +451,7 @@ def _fwd(q, k, v, bias, block_q, block_k):
 def _bwd(block_q, block_k, res, g):
     q, k, v, bias, o, lse = res
     if bias is None:
-        dq, dk, dv = _flash_backward(q, k, v, o, lse, g, block_q, block_k)
+        dq, dk, dv = _flash_backward(q, k, v, o, lse, g)
         return dq, dk, dv, None
     # Biased path: recompute-through-XLA backward (exact; only used for the
     # generic-bias API — Swin3D routes through ops.window_attention).

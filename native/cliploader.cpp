@@ -169,19 +169,33 @@ int clip_decode(const char* path, const int* indices, int n_indices,
   int err = 0;
   while (cur <= last_needed && av_read_frame(r.fmt, pkt) >= 0) {
     if (pkt->stream_index == r.stream_index) {
-      int send_rc = avcodec_send_packet(r.dec, pkt);
-      if (send_rc == 0) {
-        while (avcodec_receive_frame(r.dec, frame) == 0) {
-          handle_decoded(frame);
-          if (cur > last_needed) break;
+      // With frame threading (thread_count=0) the decoder can report
+      // EAGAIN while worker threads hold finished frames; the packet must
+      // then be RESENT after draining, not dropped — a dropped packet
+      // would desync `cur` from the true frame index and silently
+      // attribute wrong frames to every later request.
+      for (;;) {
+        int send_rc = avcodec_send_packet(r.dec, pkt);
+        if (send_rc == 0) break;
+        if (send_rc != AVERROR(EAGAIN)) {
+          err = -20;  // fail fast; the Python wrapper falls back to cv2
+          break;
         }
-      } else if (send_rc != AVERROR(EAGAIN)) {
-        // A dropped packet would desync `cur` from the true frame index and
-        // silently attribute wrong frames to every later request — fail fast
-        // and let the Python wrapper fall back to the cv2 path.
-        err = -20;
+        // EAGAIN: drain at least one frame, then retry the same packet.
+        if (avcodec_receive_frame(r.dec, frame) == 0) {
+          handle_decoded(frame);
+        } else {
+          err = -21;  // decoder wedged: no output and no input accepted
+          break;
+        }
+      }
+      if (err != 0) {
         av_packet_unref(pkt);
         break;
+      }
+      while (avcodec_receive_frame(r.dec, frame) == 0) {
+        handle_decoded(frame);
+        if (cur > last_needed) break;
       }
     }
     av_packet_unref(pkt);
