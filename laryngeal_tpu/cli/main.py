@@ -90,6 +90,9 @@ def build_parser(model_default: str = None) -> argparse.ArgumentParser:
     p.add_argument("--no_cache_clips", action="store_true")
     p.add_argument("--clip_cache_mb", type=int, default=2048,
                    help="RAM budget (MiB) for the decoded-clip LRU cache")
+    p.add_argument("--clip_cache_dir", type=str, default=None,
+                   help="Persistent on-disk decoded-clip cache (.npy per "
+                        "clip; survives restarts, shared across runs)")
     p.add_argument("--verify_integrity", action="store_true",
                    help="Open and decode-check every video at dataset init, "
                         "dropping unreadable files (the ViViT reference does "
@@ -153,6 +156,7 @@ def run(args) -> dict:
         pad_last=True,
         cache_clips=not args.no_cache_clips,
         clip_cache_mb=args.clip_cache_mb,
+        cache_dir=args.clip_cache_dir,
         verify_integrity=args.verify_integrity,
         num_workers=args.decode_workers,
     )

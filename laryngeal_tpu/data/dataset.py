@@ -95,12 +95,59 @@ class ClipCache:
             self._bytes = 0
 
 
+class DiskClipCache:
+    """Optional persistent clip-cache tier: decoded uint8 clips as .npy
+    files keyed by (path, mtime, indices, size). Survives process restarts
+    (the RAM ClipCache does not) and holds datasets larger than RAM; writes
+    are atomic (tempfile + rename) so concurrent workers/processes can share
+    a directory. No eviction — the directory is a user-managed artifact,
+    like the reference's preprocessed-dataset mirrors."""
+
+    def __init__(self, cache_dir):
+        self.dir = Path(cache_dir)
+        self.dir.mkdir(parents=True, exist_ok=True)
+
+    def _file(self, key) -> Path:
+        import hashlib
+
+        path, indices, resize = key
+        try:
+            mtime = int(Path(path).stat().st_mtime)
+        except OSError:
+            mtime = 0
+        raw = f"{Path(path).resolve()}|{mtime}|{indices}|{resize}"
+        return self.dir / (hashlib.sha1(raw.encode()).hexdigest() + ".npy")
+
+    def get(self, key):
+        f = self._file(key)
+        if not f.exists():
+            return None
+        try:
+            return np.load(f)
+        except Exception:
+            return None  # truncated/corrupt entry: treat as miss
+
+    def put(self, key, clip: np.ndarray) -> None:
+        import os
+        import tempfile
+
+        f = self._file(key)
+        try:
+            fd, tmp = tempfile.mkstemp(dir=str(self.dir), suffix=".tmp")
+            with os.fdopen(fd, "wb") as fh:
+                np.save(fh, clip)
+            os.replace(tmp, f)
+        except OSError:
+            pass  # cache is best-effort; decode still succeeded
+
+
 class VideoDataset:
     """Walks ``{data_dir}/{class}/*.mp4``, assigns labels, samples frame
     indices, and decodes fixed-length uint8 clips.
 
     Unlike the reference (which re-decodes every video every epoch — its main
-    host-side perf bug), decoded clips can be cached in RAM (``cache_clips``):
+    host-side perf bug), decoded clips can be cached in RAM (``cache_clips``,
+    byte-budget LRU) and optionally on disk (``cache_dir``, persistent):
     132 videos x 32 x 224x224x3 uint8 ~= 0.6 GB. Training-time random
     samplers still resample indices per epoch unless per-video seeding is on;
     the cache key includes the index tuple.
@@ -119,6 +166,7 @@ class VideoDataset:
         resize_to: Optional[tuple] = (224, 224),
         cache_clips: bool = True,
         clip_cache_mb: int = 2048,
+        cache_dir=None,
         video_paths: Optional[Sequence[str]] = None,
     ):
         self.root_dir = Path(root_dir)
@@ -134,6 +182,7 @@ class VideoDataset:
             per_video_seed or sampling_method == "uniform"
         )
         self._clip_cache = ClipCache(max_bytes=int(clip_cache_mb) << 20)
+        self._disk_cache = DiskClipCache(cache_dir) if cache_dir else None
         self._props_cache: Dict = {}
 
         self.sampler = FrameSampler(
@@ -226,13 +275,20 @@ class VideoDataset:
         key = (path, tuple(indices))
         clip = self._clip_cache.get(key) if self.cache_clips else None
         if clip is None:
-            try:
-                from .native import decode_frames_auto
+            disk_key = (path, tuple(indices), self.resize_to)
+            if self._disk_cache is not None:
+                clip = self._disk_cache.get(disk_key)
+            if clip is None:
+                try:
+                    from .native import decode_frames_auto
 
-                clip = decode_frames_auto(path, indices, resize_to=self.resize_to)
-            except Exception as e:
-                logger.warning("Decode failed for %s: %s — placeholder clip", path, e)
-                clip = np.full((self.num_frames, hw[1], hw[0], 3), 127, np.uint8)
+                    clip = decode_frames_auto(path, indices, resize_to=self.resize_to)
+                except Exception as e:
+                    logger.warning("Decode failed for %s: %s — placeholder clip",
+                                   path, e)
+                    clip = np.full((self.num_frames, hw[1], hw[0], 3), 127, np.uint8)
+                if self._disk_cache is not None:
+                    self._disk_cache.put(disk_key, clip)
             if self.cache_clips:
                 self._clip_cache.put(key, clip)
         return {

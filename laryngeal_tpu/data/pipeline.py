@@ -156,6 +156,7 @@ def create_dataloaders(
     pad_last: bool = False,
     cache_clips: bool = True,
     clip_cache_mb: int = 2048,
+    cache_dir=None,
     num_workers: Optional[int] = None,
 ) -> Dict[str, ClipLoader]:
     """Train/val/test loaders — the reference ``create_dataloaders`` surface
@@ -176,6 +177,7 @@ def create_dataloaders(
             resize_to=resize_to,
             cache_clips=cache_clips,
             clip_cache_mb=clip_cache_mb,
+            cache_dir=cache_dir,
         )
         loaders[split] = ClipLoader(
             ds,

@@ -104,3 +104,53 @@ class TestParallelDecode:
             assert sb["frame_indices"] == pb["frame_indices"]
             np.testing.assert_array_equal(sb["pixel_values"], pb["pixel_values"])
             np.testing.assert_array_equal(sb["labels"], pb["labels"])
+
+
+class TestDiskClipCache:
+    def test_disk_cache_survives_process_state(self, synth_root, tmp_path):
+        import laryngeal_tpu.data.dataset as D
+
+        cache_dir = tmp_path / "clips"
+        ds1 = VideoDataset(synth_root, mode="train", num_frames=8,
+                           resize_to=(32, 32), cache_dir=str(cache_dir))
+        item1 = ds1[0]
+        assert len(list(cache_dir.glob("*.npy"))) == 1
+
+        # Fresh dataset (simulates a new process: empty RAM cache) with
+        # decode disabled entirely — the clip must come from disk.
+        ds2 = VideoDataset(synth_root, mode="train", num_frames=8,
+                           resize_to=(32, 32), cache_dir=str(cache_dir))
+
+        def boom(*a, **k):
+            raise AssertionError("decode should not be called on a disk hit")
+
+        import laryngeal_tpu.data.native as native
+        orig = native.decode_frames_auto
+        native.decode_frames_auto = boom
+        try:
+            item2 = ds2[0]
+        finally:
+            native.decode_frames_auto = orig
+        np.testing.assert_array_equal(item1["pixel_values"], item2["pixel_values"])
+
+    def test_disk_cache_key_includes_indices_and_size(self, synth_root, tmp_path):
+        cache_dir = tmp_path / "clips2"
+        ds = VideoDataset(synth_root, mode="train", num_frames=8,
+                          resize_to=(32, 32), cache_dir=str(cache_dir))
+        _ = ds[0]
+        ds_big = VideoDataset(synth_root, mode="train", num_frames=8,
+                              resize_to=(48, 48), cache_dir=str(cache_dir))
+        item = ds_big[0]
+        assert item["pixel_values"].shape[1:] == (48, 48, 3)
+        assert len(list(cache_dir.glob("*.npy"))) == 2
+
+    def test_corrupt_disk_entry_is_a_miss(self, synth_root, tmp_path):
+        from laryngeal_tpu.data.dataset import DiskClipCache
+
+        cache = DiskClipCache(tmp_path / "c3")
+        key = ("/some/video.mp4", (0, 1, 2), (32, 32))
+        cache._file(key).write_bytes(b"garbage")
+        assert cache.get(key) is None
+        clip = np.zeros((2, 4, 4, 3), np.uint8)
+        cache.put(key, clip)
+        np.testing.assert_array_equal(cache.get(key), clip)
