@@ -85,7 +85,16 @@ def build_parser(model_default: str = None) -> argparse.ArgumentParser:
     # TPU-native extras.
     p.add_argument("--mesh_data", type=int, default=None,
                    help="Data-parallel device count (default: all devices)")
+    p.add_argument("--mesh_model", type=int, default=1,
+                   help="Model-axis (tensor-parallel) device count; composes "
+                        "with --mesh_data on one mesh (Megatron-style "
+                        "attention/MLP sharding, transformer families)")
     p.add_argument("--crop_size", type=int, default=224)
+    p.add_argument("--grad_accum_steps", type=int, default=1,
+                   help="Split each batch into this many micro-batches and "
+                        "accumulate gradients inside one jitted step "
+                        "(activation memory / grad_accum, identical update "
+                        "for BN-free models; batch_size must divide evenly)")
     p.add_argument("--bf16", action="store_true", help="bfloat16 compute")
     p.add_argument("--no_cache_clips", action="store_true")
     p.add_argument("--clip_cache_mb", type=int, default=2048,
@@ -164,8 +173,25 @@ def run(args) -> dict:
         ds = loaders[split].dataset
         logger.info("%s: %d videos %s", split, len(ds), ds.class_counts)
 
+    if args.grad_accum_steps > 1 and args.batch_size % args.grad_accum_steps:
+        raise SystemExit(
+            f"--batch_size {args.batch_size} must be divisible by "
+            f"--grad_accum_steps {args.grad_accum_steps}")
+
     mesh = None
-    if args.mesh_data is None and jax.device_count() > 1:
+    if args.mesh_model > 1:
+        if spec.name not in ("vivit", "timesformer"):
+            raise SystemExit(
+                "--mesh_model applies to the transformer families "
+                "(vivit/timesformer); CNN params have no model-axis layout")
+        n_data = args.mesh_data or max(
+            1, jax.device_count() // args.mesh_model)
+        if args.batch_size % n_data != 0:
+            raise SystemExit(
+                f"--batch_size {args.batch_size} must be divisible by the "
+                f"data-axis size {n_data}")
+        mesh = make_mesh(n_data=n_data, n_model=args.mesh_model)
+    elif args.mesh_data is None and jax.device_count() > 1:
         from ..parallel.mesh import auto_mesh
 
         mesh = auto_mesh(args.batch_size)
@@ -176,7 +202,8 @@ def run(args) -> dict:
                 f"--mesh_data {args.mesh_data}")
         mesh = make_mesh(n_data=args.mesh_data)
     if mesh is not None:
-        logger.info("Data-parallel mesh: %s devices", mesh.devices.size)
+        logger.info("Mesh: %s (data=%d, model=%d)", dict(mesh.shape),
+                    mesh.shape.get("data", 1), mesh.shape.get("model", 1))
 
     config = {
         "data_dir": args.data_dir, "test_dir": args.test_data_dir or args.data_dir,
@@ -189,6 +216,7 @@ def run(args) -> dict:
         "patience": args.patience, "early_stopping_delta": args.early_stopping_delta,
         "loss_weight": args.loss_weight, "acc_threshold": args.acc_threshold,
         "seed": args.seed, "crop_size": args.crop_size,
+        "grad_accum_steps": args.grad_accum_steps,
         "use_early_stopping": spec.name != "swin3d",  # swin trainer never
         # invokes early stopping in the reference (SURVEY.md §2.3)
         # Pin the architecture in checkpoint metadata so inference rebuilds

@@ -52,8 +52,13 @@ def save_checkpoint(
     if tmp.exists():
         shutil.rmtree(tmp)
 
+    # Gather to host numpy first: keeps checkpoints portable across meshes
+    # (a tensor-parallel-sharded state restores on a single chip or a
+    # different mesh shape); orbax fetches device buffers to host to write
+    # them anyway, so this adds no extra transfer.
+    host_state = jax.device_get(_state_pytree(state))
     with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(tmp / "state", _state_pytree(state))
+        ckptr.save(tmp / "state", host_state)
 
     class_labels = list(class_labels or [])
     meta = {

@@ -29,6 +29,14 @@ from .losses import make_loss_fn, probs_fn
 from .state import TrainState
 
 
+def _constrain(x, sharding):
+    """Pin a micro-batch slice back to the data-axis sharding (the reshape to
+    (grad_accum, micro, ...) leaves GSPMD free to choose otherwise)."""
+    if sharding is None:
+        return x
+    return jax.lax.with_sharding_constraint(x, sharding)
+
+
 def make_train_step(
     model,
     regime: str,
@@ -38,6 +46,7 @@ def make_train_step(
     crop: int = 224,
     tp: bool = False,
     return_grads: bool = False,
+    grad_accum: int = 1,
 ) -> Callable:
     """Returns train_step(state, pixel_u8, labels, mask, rng) -> (state, metrics).
 
@@ -45,38 +54,94 @@ def make_train_step(
     (model-axis) param shardings applied via parallel.tp.shard_train_state
     propagate through the step instead of being forced to replicate.
     return_grads=True adds the raw gradient pytree to metrics["grads"]
-    (debug/equivalence-testing only — it defeats buffer donation savings)."""
+    (debug/equivalence-testing only — it defeats buffer donation savings).
+
+    grad_accum>1 splits each batch into that many micro-batches and
+    accumulates gradients over a lax.scan inside the SAME jitted graph: one
+    optimizer update per batch, activation memory scaled by 1/grad_accum.
+    Micro-batch losses/gradients are valid-count weighted, so for BN-free
+    models the update is numerically the full-batch update (a micro-batch
+    that is all padding contributes zero). BN models update their running
+    stats sequentially per micro-batch — the same semantics torch gradient
+    accumulation has. Requires batch_size % grad_accum == 0."""
     loss_fn = make_loss_fn(loss, pos_weight)
     get_probs = probs_fn(loss)
+    if grad_accum < 1:
+        raise ValueError(f"grad_accum must be >= 1, got {grad_accum}")
+    data_shard = batch_sharding(mesh) if mesh is not None else None
+
+    def _forward_loss(params, stats, has_bn, clips, labels_m, mask_m, drng):
+        variables = {"params": params}
+        if has_bn:
+            variables["batch_stats"] = stats
+            logits, updates = model.apply(
+                variables, clips, train=True, mutable=["batch_stats"],
+                rngs={"dropout": drng},
+            )
+            new_stats = updates["batch_stats"]
+        else:
+            logits = model.apply(
+                variables, clips, train=True, rngs={"dropout": drng}
+            )
+            new_stats = stats
+        return loss_fn(logits, labels_m, mask_m), (logits, new_stats)
 
     def step(state: TrainState, pixel_u8, labels, mask, rng):
         rng = jax.random.fold_in(rng, state.step)
         aug_rng, dropout_rng = jax.random.split(rng)
-        clips = batch_preprocess(
-            pixel_u8, regime, train=(regime == "pytorchvideo"), key=aug_rng, crop=crop
-        )
-
         has_bn = bool(state.batch_stats)
 
-        def loss_with_aux(params):
-            variables = {"params": params}
-            if has_bn:
-                variables["batch_stats"] = state.batch_stats
-                logits, updates = model.apply(
-                    variables, clips, train=True, mutable=["batch_stats"],
-                    rngs={"dropout": dropout_rng},
+        if grad_accum == 1:
+            clips = batch_preprocess(
+                pixel_u8, regime, train=(regime == "pytorchvideo"), key=aug_rng,
+                crop=crop,
+            )
+            (loss_val, (logits, new_stats)), grads = jax.value_and_grad(
+                _forward_loss, has_aux=True
+            )(state.params, state.batch_stats, has_bn, clips, labels, mask,
+              dropout_rng)
+        else:
+            batch = pixel_u8.shape[0]
+            if batch % grad_accum:
+                raise ValueError(
+                    f"batch size {batch} not divisible by grad_accum {grad_accum}"
                 )
-                new_stats = updates["batch_stats"]
-            else:
-                logits = model.apply(
-                    variables, clips, train=True, rngs={"dropout": dropout_rng}
-                )
-                new_stats = state.batch_stats
-            return loss_fn(logits, labels, mask), (logits, new_stats)
+            micro = batch // grad_accum
+            px = pixel_u8.reshape(grad_accum, micro, *pixel_u8.shape[1:])
+            lb = labels.reshape(grad_accum, micro)
+            mk = mask.reshape(grad_accum, micro)
+            zero_grads = jax.tree_util.tree_map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), state.params
+            )
 
-        (loss_val, (logits, new_stats)), grads = jax.value_and_grad(
-            loss_with_aux, has_aux=True
-        )(state.params)
+            def body(carry, xs):
+                stats, gsum, lsum, csum = carry
+                px_i, lb_i, mk_i, i = xs
+                px_i = _constrain(px_i, data_shard)
+                clips = batch_preprocess(
+                    px_i, regime, train=(regime == "pytorchvideo"),
+                    key=jax.random.fold_in(aug_rng, i), crop=crop,
+                )
+                (loss_i, (logits_i, stats)), grads_i = jax.value_and_grad(
+                    _forward_loss, has_aux=True
+                )(state.params, stats, has_bn, clips, lb_i, mk_i,
+                  jax.random.fold_in(dropout_rng, i))
+                cnt = jnp.sum(mk_i.astype(jnp.float32))
+                gsum = jax.tree_util.tree_map(
+                    lambda a, g: a + g.astype(jnp.float32) * cnt, gsum, grads_i
+                )
+                return (stats, gsum, lsum + loss_i * cnt, csum + cnt), logits_i
+
+            (new_stats, gsum, lsum, csum), logits = jax.lax.scan(
+                body,
+                (state.batch_stats, zero_grads, jnp.float32(0), jnp.float32(0)),
+                (px, lb, mk, jnp.arange(grad_accum)),
+            )
+            denom = jnp.maximum(csum, 1.0)
+            grads = jax.tree_util.tree_map(lambda g: g / denom, gsum)
+            loss_val = lsum / denom
+            logits = logits.reshape(batch, *logits.shape[2:])
+
         new_state = state.apply_gradients(grads, new_batch_stats=new_stats)
 
         probs = get_probs(logits)

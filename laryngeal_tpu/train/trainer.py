@@ -88,18 +88,26 @@ class Trainer:
             weight_decay=config.get("weight_decay", spec.default_weight_decay),
             trainable_mask_fn=trainable_mask_fn,
         )
-        if mesh is not None:
+        # Model-axis (tensor) parallelism when the mesh carries a model
+        # dimension; plain replication otherwise.
+        self.tp = mesh is not None and mesh.shape.get("model", 1) > 1
+        if self.tp:
+            from ..parallel.tp import shard_train_state
+
+            self.state = shard_train_state(self.state, mesh)
+        elif mesh is not None:
             from ..parallel.mesh import replicate
 
             self.state = replicate(mesh, self.state)
 
         self.train_step = make_train_step(
             model, spec.preprocess_regime, spec.loss, self.pos_weight, mesh,
-            crop=self.crop,
+            crop=self.crop, grad_accum=int(config.get("grad_accum_steps", 1)),
+            tp=self.tp,
         )
         self.eval_step = make_eval_step(
             model, spec.preprocess_regime, spec.loss, self.pos_weight, mesh,
-            crop=self.crop,
+            crop=self.crop, tp=self.tp,
         )
 
         # Policies.

@@ -99,3 +99,46 @@ def test_tp_matches_replicated_numerics():
     _, m_tp = step_tp(state_tp, pixel, labels, mask, jax.random.PRNGKey(2))
 
     assert float(m_dp["loss"]) == pytest.approx(float(m_tp["loss"]), rel=1e-4)
+
+
+def test_trainer_tp_end_to_end(tmp_path):
+    """The CLI-reachable TP path: Trainer on a dp x tp mesh (with gradient
+    accumulation) trains an epoch, and the saved best checkpoint is
+    mesh-portable (restores into an UNsharded single-device state)."""
+    cv2 = pytest.importorskip("cv2")
+    from laryngeal_tpu.data.pipeline import create_dataloaders
+    from laryngeal_tpu.data.synthetic import make_synthetic_dataset
+    from laryngeal_tpu.train.checkpoint import load_checkpoint
+    from laryngeal_tpu.train.trainer import Trainer
+
+    root = tmp_path / "data"
+    make_synthetic_dataset(str(root), {"train": 2, "val": 2, "test": 2},
+                           num_frames=10, h=64, w=64, seed=33)
+    spec = get_model_spec("vivit")
+    cfg = VivitConfig(hidden_size=32, num_layers=1, num_heads=2,
+                      intermediate_size=64, image_size=64, num_frames=4)
+    model = VivitForVideoClassification(cfg)
+    loaders = create_dataloaders(
+        str(root), num_frames=4, batch_size=4, resize_to=(64, 64),
+        pad_last=True, label_policy=spec.label_policy,
+        per_video_seed=spec.per_video_seed,
+    )
+    mesh = make_mesh(n_data=2, n_model=2)
+    config = {"epochs": 1, "learning_rate": 1e-3, "crop_size": 64, "seed": 0,
+              "use_early_stopping": False, "grad_accum_steps": 2}
+    trainer = Trainer(model, spec, loaders, config, exp_dir=tmp_path / "run",
+                      mesh=mesh)
+    assert trainer.tp
+    state = trainer.train()
+    assert np.isfinite(trainer.history["train_loss"][0])
+    assert np.isfinite(trainer.history["val_loss"][0])
+
+    # Portability: restore on a fresh single-device (unsharded) template.
+    fresh = create_train_state(model, jax.random.PRNGKey(1),
+                               jnp.zeros((1, 4, 64, 64, 3)),
+                               optimizer=spec.optimizer, learning_rate=1e-3,
+                               weight_decay=0.01)
+    restored = load_checkpoint(trainer.best_path, fresh)["state"]
+    a = np.asarray(restored.params["layer_0"]["mlp"]["fc1"]["kernel"])
+    b = np.asarray(jax.device_get(state.params["layer_0"]["mlp"]["fc1"]["kernel"]))
+    np.testing.assert_allclose(a, b, atol=1e-6)
