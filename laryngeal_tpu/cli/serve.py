@@ -1,0 +1,83 @@
+"""Serving CLI — online HTTP inference with dynamic batching.
+
+``python -m laryngeal_tpu.cli.serve --model vivit --model_path CKPT [--port N]``
+
+Loads a training/ported checkpoint into the single jitted forward graph
+(``infer.predictor.Predictor``) and serves it; see ``serve/server.py`` for
+the endpoint contract. Model/architecture flags mirror the inference CLI.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def build_parser(model_default=None) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="TPU-native laryngeal video inference server")
+    p.add_argument("--model", type=str, default=model_default,
+                   choices=["vivit", "timesformer", "resnet3d", "resnet50_lstm", "swin3d"],
+                   required=model_default is None)
+    p.add_argument("--model_path", "--checkpoint_path", dest="model_path",
+                   type=str, required=True, help="Checkpoint dir (orbax) from training")
+    p.add_argument("--host", type=str, default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8008, help="0 picks a free port")
+    p.add_argument("--max_batch", type=int, default=8,
+                   help="Dynamic-batching window — also the ONE compiled batch shape")
+    p.add_argument("--batch_timeout_ms", type=float, default=30.0,
+                   help="Max wait to fill a batch before dispatching")
+    p.add_argument("--num_frames", type=int, default=None)
+    p.add_argument("--sampling_method", type=str, default="uniform",
+                   choices=["uniform", "random", "random_window"])
+    p.add_argument("--num_classes", type=int, default=2)
+    p.add_argument("--model_size", type=str, default="tiny")
+    p.add_argument("--hidden_size", type=int, default=256)
+    p.add_argument("--num_layers", type=int, default=2)
+    p.add_argument("--crop_size", type=int, default=None)
+    p.add_argument("--image_size", type=int, default=None)
+    p.add_argument("--log_dir", type=str, default="logs")
+    return p
+
+
+def main(argv=None, model_default=None):
+    args = build_parser(model_default).parse_args(argv)
+
+    from ..infer.predictor import Predictor
+    from ..serve.server import InferenceServer
+    from ..utils.logger import ExperimentLogger
+
+    exp_logger = ExperimentLogger(args.log_dir, prefix=f"{args.model}-serve")
+    logger = exp_logger.get_logger()
+
+    predictor = Predictor.from_checkpoint(
+        model_name=args.model,
+        checkpoint_path=args.model_path,
+        num_frames=args.num_frames,
+        sampling_method=args.sampling_method,
+        num_classes=args.num_classes,
+        crop_size=args.crop_size,
+        image_size=args.image_size,
+        model_size=args.model_size,
+        hidden_size=args.hidden_size,
+        num_layers=args.num_layers,
+        logger=logger,
+    )
+    # Compile the serving shape before accepting traffic: the first request
+    # must not eat the (remote) jit compile.
+    import numpy as np
+
+    warm = np.zeros((args.max_batch, predictor.num_frames,
+                     predictor.crop_size, predictor.crop_size, 3), np.uint8)
+    predictor.predict_clip(warm)
+    logger.info("Forward graph compiled for batch shape %s", warm.shape)
+
+    server = InferenceServer(
+        predictor, host=args.host, port=args.port,
+        max_batch=args.max_batch, batch_timeout_ms=args.batch_timeout_ms,
+        logger=logger,
+    )
+    print(f"serving on http://{args.host}:{server.port}", flush=True)
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,246 @@
+"""HTTP inference server with dynamic batching.
+
+The reference ships only offline CLIs (``vivit_transformer/inference.py``,
+``resnet50-2d-lstm/inference.py:250-351``); this is the online-serving
+counterpart the production deployment needs, built TPU-first:
+
+- ONE compiled forward shape: requests are batched to the Predictor's fixed
+  (max_batch, T, H, W, C) uint8 graph — no recompiles under load. Short
+  batches are padded with the last clip (same trick as the batch CLI).
+- Dynamic batching: a single device thread drains the request queue up to
+  ``max_batch`` or ``batch_timeout_ms``, whichever first. Host decode runs
+  in the HTTP handler threads (ThreadingHTTPServer), so decode parallelism
+  overlaps device compute for free.
+- stdlib only (http.server + json): no new dependencies.
+
+Endpoints:
+  GET  /healthz               liveness + model info
+  GET  /stats                 request/batch counters, mean batch fill
+  POST /predict               {"video_path": "<server-local path>"} or raw
+                              video bytes (Content-Type: application/
+                              octet-stream or video/*) -> predict_video JSON
+                              (schema: vivit_transformer/inference.py:225-248)
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import queue
+import tempfile
+import threading
+import time
+from concurrent.futures import Future
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+
+class DynamicBatcher:
+    """Coalesces single-clip requests into fixed-shape device batches.
+
+    ``predict_batch`` maps a (max_batch, T, H, W, C) uint8 array to
+    (max_batch, num_classes) probabilities. One daemon thread owns the
+    device; callers get a Future resolved with their row.
+    """
+
+    def __init__(self, predict_batch, max_batch: int = 8,
+                 batch_timeout_ms: float = 30.0, logger=None):
+        self.predict_batch = predict_batch
+        self.max_batch = int(max_batch)
+        self.timeout_s = float(batch_timeout_ms) / 1e3
+        self.logger = logger or logging.getLogger(__name__)
+        self._q: "queue.Queue" = queue.Queue()
+        self._stop = object()
+        self._lock = threading.Lock()
+        self.n_requests = 0
+        self.n_batches = 0
+        self.n_errors = 0
+        self.sum_fill = 0
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def submit(self, clip_u8: np.ndarray) -> Future:
+        """(T,H,W,C) uint8 -> Future[(num_classes,) float probabilities]."""
+        fut: Future = Future()
+        with self._lock:
+            self.n_requests += 1
+        self._q.put((clip_u8, fut))
+        return fut
+
+    def close(self):
+        self._q.put(self._stop)
+        self._thread.join(timeout=5)
+
+    def _collect(self):
+        """Block for the first request, then drain up to max_batch within
+        the timeout window."""
+        first = self._q.get()
+        if first is self._stop:
+            return None
+        batch = [first]
+        deadline = time.monotonic() + self.timeout_s
+        while len(batch) < self.max_batch:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
+            try:
+                item = self._q.get(timeout=remaining)
+            except queue.Empty:
+                break
+            if item is self._stop:
+                self._q.put(self._stop)  # re-post for the outer loop
+                break
+            batch.append(item)
+        return batch
+
+    def _loop(self):
+        while True:
+            batch = self._collect()
+            if batch is None:
+                return
+            clips = [c for c, _ in batch]
+            n_real = len(clips)
+            while len(clips) < self.max_batch:  # keep ONE jit shape
+                clips.append(clips[-1])
+            try:
+                probs = np.asarray(self.predict_batch(np.stack(clips)))
+                for i, (_, fut) in enumerate(batch):
+                    fut.set_result(probs[i])
+            except Exception as e:  # resolve, never strand a waiting handler
+                with self._lock:
+                    self.n_errors += 1
+                for _, fut in batch:
+                    if not fut.done():
+                        fut.set_exception(e)
+            with self._lock:
+                self.n_batches += 1
+                self.sum_fill += n_real
+
+    def stats(self) -> dict:
+        with self._lock:
+            return {
+                "requests": self.n_requests,
+                "batches": self.n_batches,
+                "batch_errors": self.n_errors,
+                "max_batch": self.max_batch,
+                "mean_batch_fill": (self.sum_fill / self.n_batches
+                                    if self.n_batches else 0.0),
+            }
+
+
+class InferenceServer:
+    """ThreadingHTTPServer around a Predictor + DynamicBatcher."""
+
+    def __init__(self, predictor, host: str = "127.0.0.1", port: int = 8008,
+                 max_batch: int = 8, batch_timeout_ms: float = 30.0,
+                 logger=None):
+        self.predictor = predictor
+        self.logger = logger or logging.getLogger(__name__)
+        self.batcher = DynamicBatcher(
+            lambda clips: predictor.predict_clip(clips),
+            max_batch=max_batch, batch_timeout_ms=batch_timeout_ms,
+            logger=self.logger,
+        )
+        self.t_start = time.monotonic()
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            # Quiet per-request stderr lines; route through the logger.
+            def log_message(self, fmt, *args):
+                server.logger.debug("http: " + fmt, *args)
+
+            def _json(self, code: int, payload: dict):
+                body = json.dumps(payload, indent=2).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path == "/healthz":
+                    self._json(200, {
+                        "status": "ok",
+                        "model": server.predictor.spec.name,
+                        "num_frames": server.predictor.num_frames,
+                        "crop_size": server.predictor.crop_size,
+                        "uptime_s": round(time.monotonic() - server.t_start, 1),
+                    })
+                elif self.path == "/stats":
+                    self._json(200, server.batcher.stats())
+                else:
+                    self._json(404, {"error": f"unknown path {self.path}"})
+
+            def do_POST(self):
+                if self.path != "/predict":
+                    self._json(404, {"error": f"unknown path {self.path}"})
+                    return
+                try:
+                    length = int(self.headers.get("Content-Length", 0))
+                    body = self.rfile.read(length)
+                    ctype = (self.headers.get("Content-Type") or "").split(";")[0]
+                    result = server.handle_predict(body, ctype)
+                    self._json(200, result)
+                except FileNotFoundError as e:
+                    self._json(404, {"error": str(e)})
+                except ValueError as e:
+                    self._json(400, {"error": str(e)})
+                except Exception as e:
+                    server.logger.exception("predict failed")
+                    self._json(500, {"error": f"{type(e).__name__}: {e}"})
+
+        self.httpd = ThreadingHTTPServer((host, port), Handler)
+        self.httpd.daemon_threads = True
+
+    @property
+    def port(self) -> int:
+        return self.httpd.server_address[1]
+
+    def handle_predict(self, body: bytes, content_type: str) -> dict:
+        """Decode on the handler thread, batch on the device thread."""
+        pred = self.predictor
+        if content_type == "application/json":
+            try:
+                req = json.loads(body or b"{}")
+            except json.JSONDecodeError as e:
+                raise ValueError(f"invalid JSON body: {e}")
+            path = req.get("video_path")
+            if not path:
+                raise ValueError('JSON body must carry "video_path"')
+            if not Path(path).exists():
+                raise FileNotFoundError(f"no such video: {path}")
+            clip, indices, total = pred.extract_clip_with_indices(path)
+            label = path
+        elif content_type in ("application/octet-stream", "") or \
+                content_type.startswith("video/"):
+            if not body:
+                raise ValueError("empty video payload")
+            # Decoders want a real file; suffix only hints the demuxer.
+            with tempfile.NamedTemporaryFile(suffix=".mp4") as tmp:
+                tmp.write(body)
+                tmp.flush()
+                clip, indices, total = pred.extract_clip_with_indices(tmp.name)
+            label = "<uploaded video>"
+        else:
+            raise ValueError(f"unsupported Content-Type {content_type!r}")
+
+        probs = self.batcher.submit(clip).result()
+        return pred._result(label, probs, indices, total)
+
+    def serve_forever(self):
+        self.logger.info("Serving %s on %s:%d (max_batch=%d)",
+                         self.predictor.spec.name,
+                         self.httpd.server_address[0], self.port,
+                         self.batcher.max_batch)
+        try:
+            self.httpd.serve_forever()
+        finally:
+            self.close()
+
+    def close(self):
+        self.httpd.shutdown()
+        self.httpd.server_close()
+        self.batcher.close()
