@@ -39,6 +39,9 @@ def build_parser(model_default=None) -> argparse.ArgumentParser:
     p.add_argument("--image_size", type=int, default=None)
     p.add_argument("--batch_size", type=int, default=4)
     p.add_argument("--save_viz", action="store_true")
+    p.add_argument("--compile_cache_dir", type=str, default=None,
+                   help="Persistent XLA compilation cache (also via "
+                        "LARYNGEAL_COMPILE_CACHE_DIR)")
     return p
 
 
@@ -48,8 +51,10 @@ def main(argv=None, model_default=None):
         raise SystemExit("one of --video_path / --video_dir is required")
 
     from ..infer.predictor import Predictor
+    from ..utils.compile_cache import enable as enable_compile_cache
     from ..utils.logger import ExperimentLogger
 
+    enable_compile_cache(args.compile_cache_dir)
     exp_logger = ExperimentLogger(args.log_dir, prefix=f"{args.model}-inference")
     logger = exp_logger.get_logger()
     exp_dir = exp_logger.get_experiment_dir()

@@ -102,6 +102,10 @@ def build_parser(model_default: str = None) -> argparse.ArgumentParser:
     p.add_argument("--clip_cache_dir", type=str, default=None,
                    help="Persistent on-disk decoded-clip cache (.npy per "
                         "clip; survives restarts, shared across runs)")
+    p.add_argument("--compile_cache_dir", type=str, default=None,
+                   help="Persistent XLA compilation cache (also via "
+                        "LARYNGEAL_COMPILE_CACHE_DIR); repeat runs skip the "
+                        "multi-minute remote train-step compile")
     p.add_argument("--verify_integrity", action="store_true",
                    help="Open and decode-check every video at dataset init, "
                         "dropping unreadable files (the ViViT reference does "
@@ -117,6 +121,10 @@ def build_parser(model_default: str = None) -> argparse.ArgumentParser:
 def run(args) -> dict:
     import jax
     import jax.numpy as jnp
+
+    from ..utils.compile_cache import enable as enable_compile_cache
+
+    enable_compile_cache(getattr(args, "compile_cache_dir", None))
 
     from ..data.pipeline import create_dataloaders
     from ..evals.evaluator import Evaluator

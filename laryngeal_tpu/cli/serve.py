@@ -35,6 +35,10 @@ def build_parser(model_default=None) -> argparse.ArgumentParser:
     p.add_argument("--crop_size", type=int, default=None)
     p.add_argument("--image_size", type=int, default=None)
     p.add_argument("--log_dir", type=str, default="logs")
+    p.add_argument("--compile_cache_dir", type=str, default=None,
+                   help="Persistent XLA compilation cache (also via "
+                        "LARYNGEAL_COMPILE_CACHE_DIR) — restarts of the "
+                        "server skip the serving-shape compile")
     return p
 
 
@@ -43,8 +47,10 @@ def main(argv=None, model_default=None):
 
     from ..infer.predictor import Predictor
     from ..serve.server import InferenceServer
+    from ..utils.compile_cache import enable as enable_compile_cache
     from ..utils.logger import ExperimentLogger
 
+    enable_compile_cache(args.compile_cache_dir)
     exp_logger = ExperimentLogger(args.log_dir, prefix=f"{args.model}-serve")
     logger = exp_logger.get_logger()
 
