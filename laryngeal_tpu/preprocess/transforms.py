@@ -171,6 +171,31 @@ def timesformer_pixels(video_u8: Array, crop: int = 224, size: int = 224) -> Arr
 HF_PIXEL_FNS = {"vivit": vivit_pixels, "timesformer": timesformer_pixels}
 
 
+def temporal_delta_encode(clip_u8):
+    """HOST side (numpy): uint8 clip (T, ...) -> mod-256 temporal deltas.
+
+    Consecutive video frames are similar, so the delta stream has lower
+    entropy than raw planes — and the relay/interconnect moves compressible
+    payloads measurably faster (probed: random 41 MB/s, raw I420 50 MB/s,
+    deltas 54 MB/s effective on synthetic video; real video compresses
+    further). Exact uint8 wraparound: frame[0] unchanged,
+    delta[t] = frame[t] - frame[t-1] (mod 256)."""
+    import numpy as np
+
+    out = clip_u8.copy()
+    out[1:] = clip_u8[1:] - clip_u8[:-1]  # uint8 arithmetic wraps mod 256
+    return out
+
+
+def temporal_delta_decode(delta_u8: Array, axis: int = 0) -> Array:
+    """DEVICE side (jittable): invert ``temporal_delta_encode`` exactly.
+
+    A log-depth associative scan of wrapping uint8 adds along the frame
+    axis — negligible next to the backbone, and it fuses into the same
+    decode->logits graph as the chroma expansion."""
+    return jax.lax.associative_scan(jnp.add, delta_u8, axis=axis)
+
+
 def yuv420_to_rgb(yuv: Array, height: int, width: int) -> Array:
     """I420 planar uint8 (T, H*3/2, W) -> RGB float32 (T, H, W, 3), 0-255.
 

@@ -113,3 +113,20 @@ def test_batch_preprocess_dispatch():
         T.batch_preprocess(clips, "nope", train=False)
     with pytest.raises(ValueError):
         T.batch_preprocess(clips, "pytorchvideo", train=True, key=None)
+
+
+def test_temporal_delta_roundtrip_exact():
+    """Wire-format inverse: host mod-256 deltas -> device scan, bit-exact."""
+    rng = np.random.default_rng(9)
+    clip = rng.integers(0, 256, (6, 12, 8), dtype=np.uint8)  # I420-ish planes
+    enc = T.temporal_delta_encode(clip)
+    assert enc.dtype == np.uint8
+    np.testing.assert_array_equal(enc[0], clip[0])
+    dec = jax.jit(lambda x: T.temporal_delta_decode(x, axis=0))(jnp.asarray(enc))
+    np.testing.assert_array_equal(np.asarray(dec), clip)
+
+    # Batched with the frame axis at 1 (the bench layout).
+    batch = rng.integers(0, 256, (3, 5, 6, 4), dtype=np.uint8)
+    enc_b = np.stack([T.temporal_delta_encode(c) for c in batch])
+    dec_b = jax.jit(lambda x: T.temporal_delta_decode(x, axis=1))(jnp.asarray(enc_b))
+    np.testing.assert_array_equal(np.asarray(dec_b), batch)
