@@ -20,12 +20,15 @@ def build_parser(model_default=None) -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="TPU-native laryngeal video inference")
     p.add_argument("--model", type=str, default=model_default,
                    choices=["vivit", "timesformer", "resnet3d", "resnet50_lstm", "swin3d"],
-                   required=model_default is None)
+                   required=False)
     p.add_argument("--video_path", type=str, default=None)
     p.add_argument("--video_dir", type=str, default=None,
                    help="Batch mode over a directory tree of .mp4s")
     p.add_argument("--model_path", "--checkpoint_path", dest="model_path",
-                   type=str, required=True, help="Checkpoint dir (orbax) from training")
+                   type=str, default=None, help="Checkpoint dir (orbax) from training")
+    p.add_argument("--exported", type=str, default=None,
+                   help="AOT artifact (cli.export output) — serves without "
+                        "model code or checkpoint; overrides --model_path")
     p.add_argument("--log_dir", type=str, default="logs")
     p.add_argument("--num_frames", type=int, default=None)
     p.add_argument("--sampling_method", type=str, default="uniform",
@@ -49,29 +52,40 @@ def main(argv=None, model_default=None):
     args = build_parser(model_default).parse_args(argv)
     if not args.video_path and not args.video_dir:
         raise SystemExit("one of --video_path / --video_dir is required")
+    if not args.exported and not args.model_path:
+        raise SystemExit("one of --model_path / --exported is required")
+    if not args.exported and not args.model:
+        raise SystemExit("--model is required with --model_path")
 
-    from ..infer.predictor import Predictor
     from ..utils.compile_cache import enable as enable_compile_cache
     from ..utils.logger import ExperimentLogger
 
     enable_compile_cache(args.compile_cache_dir)
-    exp_logger = ExperimentLogger(args.log_dir, prefix=f"{args.model}-inference")
+    prefix = f"{args.model or 'exported'}-inference"
+    exp_logger = ExperimentLogger(args.log_dir, prefix=prefix)
     logger = exp_logger.get_logger()
     exp_dir = exp_logger.get_experiment_dir()
 
-    predictor = Predictor.from_checkpoint(
-        model_name=args.model,
-        checkpoint_path=args.model_path,
-        num_frames=args.num_frames,
-        sampling_method=args.sampling_method,
-        num_classes=args.num_classes,
-        crop_size=args.crop_size,
-        image_size=args.image_size,
-        model_size=args.model_size,
-        hidden_size=args.hidden_size,
-        num_layers=args.num_layers,
-        logger=logger,
-    )
+    if args.exported:
+        from ..infer.export import ExportedPredictor
+
+        predictor = ExportedPredictor.load(args.exported, logger=logger)
+    else:
+        from ..infer.predictor import Predictor
+
+        predictor = Predictor.from_checkpoint(
+            model_name=args.model,
+            checkpoint_path=args.model_path,
+            num_frames=args.num_frames,
+            sampling_method=args.sampling_method,
+            num_classes=args.num_classes,
+            crop_size=args.crop_size,
+            image_size=args.image_size,
+            model_size=args.model_size,
+            hidden_size=args.hidden_size,
+            num_layers=args.num_layers,
+            logger=logger,
+        )
 
     results_dir = exp_dir / "inference_results"
     results_dir.mkdir(parents=True, exist_ok=True)

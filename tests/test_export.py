@@ -1,0 +1,127 @@
+"""AOT export artifacts: roundtrip parity, batch routing, CLI surface.
+
+The artifact must reproduce the checkpoint-backed Predictor's probabilities
+exactly (same graph, weights baked as constants) and serve through the
+inference CLI with no model code/checkpoint access.
+"""
+
+import json
+import zipfile
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from laryngeal_tpu.cli import export as export_cli
+from laryngeal_tpu.cli import inference as inference_cli
+from laryngeal_tpu.cli import main as train_cli
+from laryngeal_tpu.data.synthetic import make_synthetic_dataset
+from laryngeal_tpu.infer.export import ExportedModel, ExportedPredictor
+from laryngeal_tpu.infer.predictor import Predictor
+
+
+@pytest.fixture(scope="module")
+def synth_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("export_synth")
+    make_synthetic_dataset(
+        str(root), {"train": 3, "val": 2, "test": 2}, num_frames=10, h=64, w=64,
+        seed=5)
+    return root
+
+
+@pytest.fixture(scope="module")
+def trained(synth_root, tmp_path_factory):
+    out = tmp_path_factory.mktemp("export_logs")
+    return train_cli.main([
+        "--model", "vivit", "--data_dir", str(synth_root),
+        "--log_dir", str(out), "--num_frames", "4", "--batch_size", "4",
+        "--epochs", "1", "--crop_size", "64", "--seed", "3",
+    ])
+
+
+@pytest.fixture(scope="module")
+def artifact(trained, tmp_path_factory):
+    out = tmp_path_factory.mktemp("export_art") / "vivit.lxa"
+    export_cli.main([
+        "--model", "vivit",
+        "--model_path", str(Path(trained["exp_dir"]) / "best_model"),
+        "--out", str(out), "--batch_sizes", "1,2",
+        "--num_frames", "4", "--crop_size", "64",
+    ])
+    return out
+
+
+def test_artifact_file_layout(artifact):
+    assert artifact.exists()
+    with zipfile.ZipFile(artifact) as zf:
+        names = set(zf.namelist())
+        assert "meta.json" in names
+        assert {"b1.bin", "b2.bin"} <= names
+        meta = json.loads(zf.read("meta.json"))
+    assert meta["model"] == "vivit"
+    assert meta["batch_sizes"] == [1, 2]
+    assert meta["num_frames"] == 4 and meta["crop_size"] == 64
+    assert set(meta["class_labels"]) == {"referral", "non_referral"}
+
+
+def test_roundtrip_matches_checkpoint_predictor(trained, artifact):
+    ckpt = str(Path(trained["exp_dir"]) / "best_model")
+    predictor = Predictor.from_checkpoint("vivit", ckpt, num_frames=4,
+                                          crop_size=64)
+    exported = ExportedModel.load(artifact)
+    rng = np.random.default_rng(0)
+    clip = rng.integers(0, 256, (2, 4, 64, 64, 3), dtype=np.uint8)
+    np.testing.assert_allclose(
+        exported.predict(clip), predictor.predict_clip(clip), atol=1e-6)
+
+
+def test_batch_routing_pads_and_trims(artifact):
+    exported = ExportedModel.load(artifact)
+    rng = np.random.default_rng(1)
+    clips = rng.integers(0, 256, (3, 4, 64, 64, 3), dtype=np.uint8)
+    probs = exported.predict(clips)  # 3 > max exported batch 2: chunks 2+1
+    assert probs.shape == (3, 2)
+    np.testing.assert_allclose(probs.sum(axis=1), 1.0, atol=1e-5)
+    # Identical to one-at-a-time through the b1 graph.
+    singles = np.concatenate([exported.predict(c) for c in clips])
+    np.testing.assert_allclose(probs, singles, atol=1e-5)
+
+
+def test_inference_cli_serves_from_artifact(artifact, synth_root, tmp_path):
+    video = next((synth_root / "test" / "referral").glob("*.mp4"))
+    result = inference_cli.main([
+        "--exported", str(artifact),
+        "--video_path", str(video),
+        "--log_dir", str(tmp_path),
+    ])
+    assert result["predicted_class"] in ("referral", "non_referral")
+    assert abs(sum(result["probabilities"].values()) - 1.0) < 1e-5
+    assert result["num_frames"] == 4
+    out = list(tmp_path.glob("**/inference_results/*_result.json"))
+    assert len(out) == 1
+
+
+def test_exported_predictor_batch_mode(artifact, synth_root, tmp_path):
+    results = inference_cli.main([
+        "--exported", str(artifact),
+        "--video_dir", str(synth_root / "test"),
+        "--log_dir", str(tmp_path),
+        "--batch_size", "2",
+    ])
+    assert len(results) == 4  # 2 classes x 2 test videos
+    csvs = list(tmp_path.glob("**/inference_results/batch_results.csv"))
+    assert len(csvs) == 1
+
+
+def test_exported_predictor_sampling_parity(trained, artifact, synth_root):
+    """Artifact-backed and checkpoint-backed predictors sample the same
+    frames (per-video-seed contract rides through meta.json)."""
+    ckpt = str(Path(trained["exp_dir"]) / "best_model")
+    p1 = Predictor.from_checkpoint("vivit", ckpt, num_frames=4, crop_size=64)
+    p2 = ExportedPredictor.load(artifact)
+    video = next((synth_root / "test" / "non_referral").glob("*.mp4"))
+    r1, r2 = p1.predict_video(video), p2.predict_video(video)
+    assert r1["frame_indices"] == r2["frame_indices"]
+    np.testing.assert_allclose(
+        list(r1["probabilities"].values()),
+        list(r2["probabilities"].values()), atol=1e-6)
