@@ -353,6 +353,23 @@ def _flash_forward(q, k, v, bias, block_q, block_k,
     return _from_bh(out[:, :n], b, h)
 
 
+# Backward block-size candidates, chosen per sequence length: sublane-dim
+# (q) blocks only need to be multiples of 8 and lane-dim (k) blocks of 128,
+# so 320/640 tile N=3137's npad128=3200 EXACTLY where 256/512 pad each axis
+# to 3328 — hardware sweep: 11.3 vs 13.0 ms/iter fwd+bwd at the ViViT-B
+# shape (-13%, BASELINE.md). For power-of-two N the 512-family pads less
+# and wins instead; ``_pick_block`` minimizes padded length per axis.
+_DQ_BLOCK_Q_CANDIDATES = (256, 320)
+_DKV_BLOCK_Q_CANDIDATES = (512, 640)
+_DKV_BLOCK_K_CANDIDATES = (512, 640)
+
+
+def _pick_block(n: int, candidates) -> int:
+    """Smallest padded length wins; larger block breaks ties (fewer grid
+    steps). All candidates satisfy Mosaic's tiling rules for their axis."""
+    return min(candidates, key=lambda b: (-(-n // b) * b, -b))
+
+
 def _flash_backward(q, k, v, o, lse_pad, g,
                     interpret: Optional[bool] = None):
     """dq/dk/dv via the two-kernel flash scheme. ``lse_pad`` is the forward's
@@ -369,10 +386,10 @@ def _flash_backward(q, k, v, o, lse_pad, g,
     scale = 1.0 / math.sqrt(d)
 
     npad128 = -(-n // 128) * 128
-    dq_block_q = min(256, npad128)
+    dq_block_q = min(_pick_block(n, _DQ_BLOCK_Q_CANDIDATES), npad128)
     dq_block_k = npad128 if npad128 <= 4096 else 512
-    block_q = min(512, npad128)
-    block_k = min(512, npad128)
+    block_q = min(_pick_block(n, _DKV_BLOCK_Q_CANDIDATES), npad128)
+    block_k = min(_pick_block(n, _DKV_BLOCK_K_CANDIDATES), npad128)
 
     # delta = rowsum(dO * O): O(N*D) elementwise in XLA; shaped (BH, N, 1)
     # like lse (see the Mosaic block-dim note in _flash_forward).
