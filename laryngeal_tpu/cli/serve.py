@@ -16,9 +16,13 @@ def build_parser(model_default=None) -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="TPU-native laryngeal video inference server")
     p.add_argument("--model", type=str, default=model_default,
                    choices=["vivit", "timesformer", "resnet3d", "resnet50_lstm", "swin3d"],
-                   required=model_default is None)
+                   required=False)
     p.add_argument("--model_path", "--checkpoint_path", dest="model_path",
-                   type=str, required=True, help="Checkpoint dir (orbax) from training")
+                   type=str, default=None, help="Checkpoint dir (orbax) from training")
+    p.add_argument("--exported", type=str, default=None,
+                   help="Serve an AOT artifact (cli.export output) — no "
+                        "model code or checkpoint needed; overrides "
+                        "--model/--model_path")
     p.add_argument("--host", type=str, default="127.0.0.1")
     p.add_argument("--port", type=int, default=8008, help="0 picks a free port")
     p.add_argument("--max_batch", type=int, default=8,
@@ -45,28 +49,38 @@ def build_parser(model_default=None) -> argparse.ArgumentParser:
 def main(argv=None, model_default=None):
     args = build_parser(model_default).parse_args(argv)
 
-    from ..infer.predictor import Predictor
     from ..serve.server import InferenceServer
     from ..utils.compile_cache import enable as enable_compile_cache
     from ..utils.logger import ExperimentLogger
 
     enable_compile_cache(args.compile_cache_dir)
-    exp_logger = ExperimentLogger(args.log_dir, prefix=f"{args.model}-serve")
+    prefix = f"{args.model or 'exported'}-serve"
+    exp_logger = ExperimentLogger(args.log_dir, prefix=prefix)
     logger = exp_logger.get_logger()
 
-    predictor = Predictor.from_checkpoint(
-        model_name=args.model,
-        checkpoint_path=args.model_path,
-        num_frames=args.num_frames,
-        sampling_method=args.sampling_method,
-        num_classes=args.num_classes,
-        crop_size=args.crop_size,
-        image_size=args.image_size,
-        model_size=args.model_size,
-        hidden_size=args.hidden_size,
-        num_layers=args.num_layers,
-        logger=logger,
-    )
+    if args.exported:
+        from ..infer.export import ExportedPredictor
+
+        predictor = ExportedPredictor.load(args.exported, logger=logger)
+    else:
+        if not args.model or not args.model_path:
+            raise SystemExit("--model and --model_path are required "
+                             "without --exported")
+        from ..infer.predictor import Predictor
+
+        predictor = Predictor.from_checkpoint(
+            model_name=args.model,
+            checkpoint_path=args.model_path,
+            num_frames=args.num_frames,
+            sampling_method=args.sampling_method,
+            num_classes=args.num_classes,
+            crop_size=args.crop_size,
+            image_size=args.image_size,
+            model_size=args.model_size,
+            hidden_size=args.hidden_size,
+            num_layers=args.num_layers,
+            logger=logger,
+        )
     # Compile the serving shape before accepting traffic: the first request
     # must not eat the (remote) jit compile.
     import numpy as np

@@ -143,3 +143,31 @@ def test_batcher_pads_and_resolves_errors():
     fut = b.submit(clip)  # the loop survives a failed batch
     np.testing.assert_allclose(fut.result(timeout=5), [0.25, 0.75])
     b.close()
+
+
+def test_serve_from_exported_artifact(predictor, video_path, tmp_path):
+    """The server runs against an AOT artifact (ExportedPredictor drop-in)
+    with no checkpoint/model code, and matches the live predictor."""
+    from laryngeal_tpu.infer.export import (
+        ExportedPredictor, export_predictor, save_exported)
+
+    path = save_exported(export_predictor(predictor, batch_sizes=(1, 4)),
+                         tmp_path / "vivit.lxa")
+    srv = InferenceServer(ExportedPredictor.load(path), port=0,
+                          max_batch=4, batch_timeout_ms=50)
+    t = threading.Thread(target=srv.httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        assert _get(srv, "/healthz")["status"] == "ok"
+        got = _post(srv, "/predict",
+                    json.dumps({"video_path": str(video_path)}).encode(),
+                    "application/json")
+        want = predictor.predict_video(str(video_path))
+        assert got["predicted_class"] == want["predicted_class"]
+        assert got["frame_indices"] == want["frame_indices"]
+        np.testing.assert_allclose(
+            [got["probabilities"][c] for c in sorted(got["probabilities"])],
+            [want["probabilities"][c] for c in sorted(want["probabilities"])],
+            atol=1e-6)
+    finally:
+        srv.close()
