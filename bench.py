@@ -49,7 +49,7 @@ from pathlib import Path
 
 NUM_FRAMES = 32
 CROP = 224
-BATCH = 8
+BATCH = int(os.environ.get("BENCH_BATCH", "8"))
 N_VIDEOS = 48
 BENCH_DIR = Path(os.environ.get("BENCH_DATA_DIR", "/tmp/laryngeal_bench_data"))
 BASELINE_CACHE = Path(__file__).parent / "BENCH_BASELINE.json"

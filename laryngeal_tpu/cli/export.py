@@ -26,6 +26,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Output artifact path (.lxa zip)")
     p.add_argument("--batch_sizes", type=str, default="1,8",
                    help="Comma-separated batch sizes to AOT-compile")
+    p.add_argument("--quantize", type=str, default=None, choices=["int8"],
+                   help="Bake W8A8 dynamically-quantized Dense layers "
+                        "(~3x MXU matmul throughput, ~4x smaller artifact)")
     p.add_argument("--platforms", type=str, default=None,
                    help="Comma-separated jax platforms to lower for "
                         "(default: current backend; e.g. 'cpu,tpu')")
@@ -49,7 +52,7 @@ def main(argv=None):
     platforms = (args.platforms.split(",") if args.platforms else None)
     path = export_checkpoint(
         args.model, args.model_path, args.out,
-        batch_sizes=batch_sizes, platforms=platforms,
+        batch_sizes=batch_sizes, platforms=platforms, quantize=args.quantize,
         num_frames=args.num_frames, sampling_method=args.sampling_method,
         num_classes=args.num_classes, crop_size=args.crop_size,
         image_size=args.image_size, model_size=args.model_size,

@@ -39,18 +39,30 @@ _FORMAT_VERSION = 1
 
 
 def export_predictor(predictor, batch_sizes: Sequence[int] = (1, 8),
-                     platforms: Optional[Sequence[str]] = None) -> Dict:
+                     platforms: Optional[Sequence[str]] = None,
+                     quantize: Optional[str] = None) -> Dict:
     """AOT-export ``predictor``'s jitted forward at each batch size.
 
     Weights are closed over (baked into the StableHLO as constants), so the
-    artifact is self-contained. Returns ``{"meta": dict, "blobs": {N: bytes}}``;
-    use :func:`save_exported` to write the zip.
+    artifact is self-contained. ``quantize="int8"`` bakes W8A8
+    dynamically-quantized Dense layers instead (``ops.quant``): ~3x matmul
+    throughput on the MXU and ~4x smaller artifacts for the transformer
+    families. Returns ``{"meta": dict, "blobs": {N: bytes}}``; use
+    :func:`save_exported` to write the zip.
     """
     from jax import export as jexport
 
     params = predictor.state.params
     batch_stats = predictor.state.batch_stats
     t, hw = predictor.num_frames, predictor.crop_size
+
+    quant_paths = None
+    if quantize == "int8":
+        from ..ops.quant import quantize_params
+
+        params, quant_paths = quantize_params(params)
+    elif quantize:
+        raise ValueError(f"unknown quantize mode {quantize!r} (use 'int8')")
 
     def forward(pixel_u8):
         # Re-build rather than reuse predictor._forward: closing over the
@@ -63,7 +75,13 @@ def export_predictor(predictor, batch_sizes: Sequence[int] = (1, 8),
         variables = {"params": params}
         if batch_stats:
             variables["batch_stats"] = batch_stats
-        logits = predictor.model.apply(variables, clips, train=False)
+        if quant_paths is not None:
+            from ..ops.quant import quantized_apply
+
+            logits = quantized_apply(predictor.model, variables, clips,
+                                     train=False, quantized_paths=quant_paths)
+        else:
+            logits = predictor.model.apply(variables, clips, train=False)
         return probs_fn(predictor.spec.loss)(logits)
 
     kwargs = {}
@@ -84,6 +102,7 @@ def export_predictor(predictor, batch_sizes: Sequence[int] = (1, 8),
         "crop_size": int(hw),
         "sampling_method": predictor.sampling_method,
         "per_video_seed": bool(getattr(predictor.spec, "per_video_seed", False)),
+        "quantize": quantize,
         "batch_sizes": sorted(blobs),
         "platforms": list(platforms) if platforms else [jax.default_backend()],
         "exported_at": datetime.now().isoformat(),
@@ -220,11 +239,13 @@ class ExportedPredictor:
 def export_checkpoint(model_name: str, checkpoint_path, out_path,
                       batch_sizes: Sequence[int] = (1, 8),
                       platforms: Optional[Sequence[str]] = None,
+                      quantize: Optional[str] = None,
                       **predictor_kwargs) -> Path:
     """Checkpoint dir -> serialized artifact file (CLI entry's core)."""
     from .predictor import Predictor
 
     predictor = Predictor.from_checkpoint(model_name, checkpoint_path,
                                           **predictor_kwargs)
-    artifact = export_predictor(predictor, batch_sizes, platforms)
+    artifact = export_predictor(predictor, batch_sizes, platforms,
+                                quantize=quantize)
     return save_exported(artifact, out_path)

@@ -125,3 +125,24 @@ def test_exported_predictor_sampling_parity(trained, artifact, synth_root):
     np.testing.assert_allclose(
         list(r1["probabilities"].values()),
         list(r2["probabilities"].values()), atol=1e-6)
+
+
+def test_quantized_export_roundtrip(trained, artifact, tmp_path):
+    """--quantize int8 bakes W8A8 graphs: smaller artifact, close probs."""
+    out = tmp_path / "vivit_int8.lxa"
+    export_cli.main([
+        "--model", "vivit",
+        "--model_path", str(Path(trained["exp_dir"]) / "best_model"),
+        "--out", str(out), "--batch_sizes", "2",
+        "--num_frames", "4", "--crop_size", "64", "--quantize", "int8",
+    ])
+    q = ExportedModel.load(out)
+    assert q.meta["quantize"] == "int8"
+    f32 = ExportedModel.load(artifact)
+    # int8 constants deflate far better than f32 (b2 graph vs b1+b2 f32).
+    assert out.stat().st_size < artifact.stat().st_size * 0.45
+    rng = np.random.default_rng(7)
+    clips = rng.integers(0, 256, (2, 4, 64, 64, 3), dtype=np.uint8)
+    pq, pf = q.predict(clips), f32.predict(clips)
+    np.testing.assert_allclose(pq, pf, atol=0.06)
+    assert (np.argmax(pq, -1) == np.argmax(pf, -1)).all()

@@ -1,0 +1,78 @@
+"""W8A8 dynamic quantization: tree transform, interception, accuracy."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from laryngeal_tpu.models.vivit import VivitConfig, VivitForVideoClassification
+from laryngeal_tpu.ops import quant
+
+
+def _tiny_vivit():
+    cfg = VivitConfig(hidden_size=256, num_layers=2, num_heads=4,
+                      intermediate_size=512, image_size=32, num_frames=4)
+    model = VivitForVideoClassification(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 32, 32, 3)) * 50 + 100
+    params = model.init(jax.random.PRNGKey(1), x)["params"]
+    return model, params, x
+
+
+def test_quantize_kernel_roundtrip():
+    k = jax.random.normal(jax.random.PRNGKey(2), (256, 128))
+    q, s = quant.quantize_kernel(k)
+    assert q.dtype == jnp.int8 and s.shape == (128,)
+    deq = q.astype(jnp.float32) * s[None, :]
+    # Symmetric per-channel int8: max error is half a quantization step.
+    np.testing.assert_allclose(np.asarray(deq), np.asarray(k),
+                               atol=float(s.max()) * 0.5 + 1e-7)
+
+
+def test_quantize_params_selects_and_excludes():
+    _, params, _ = _tiny_vivit()
+    qparams, paths = quant.quantize_params(params)
+    # Transformer qkv/out/mlp Dense kernels quantized...
+    assert any("attention" in "/".join(p) for p in paths)
+    assert any("mlp" in "/".join(p) for p in paths)
+    # ...classifier (excluded name AND narrow dim) untouched.
+    assert ("classifier",) not in paths
+    assert qparams["classifier"]["kernel"].dtype == jnp.float32
+    layer = qparams["layer_0"]["attention"]["query"]
+    assert set(layer) == {"kernel_q8", "kernel_scale", "bias"}
+    assert layer["kernel_q8"].dtype == jnp.int8
+    # Conv kernels (embeddings projection, >2-D) untouched.
+    assert qparams["embeddings"]["projection"]["kernel"].ndim == 5
+
+
+def test_quantized_apply_close_to_f32():
+    model, params, x = _tiny_vivit()
+    ref = jax.nn.softmax(model.apply({"params": params}, x), axis=-1)
+    qparams, paths = quant.quantize_params(params)
+    got = jax.nn.softmax(
+        quant.quantized_apply(model, {"params": qparams}, x,
+                              quantized_paths=paths), axis=-1)
+    # W8A8 dynamic on a random-init model: probabilities track closely.
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=0.05)
+    assert (np.argmax(np.asarray(got), -1) == np.argmax(np.asarray(ref), -1)).all()
+
+
+def test_quantized_apply_infers_paths_and_jits():
+    model, params, x = _tiny_vivit()
+    qparams, paths = quant.quantize_params(params)
+
+    @jax.jit
+    def f(variables, x):
+        return quant.quantized_apply(model, variables, x,
+                                     quantized_paths=paths)
+
+    a = f({"params": qparams}, x)
+    b = quant.quantized_apply(model, {"params": qparams}, x)  # inferred paths
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_interceptor_leaves_unquantized_models_alone():
+    model, params, x = _tiny_vivit()
+    ref = model.apply({"params": params}, x)
+    got = quant.quantized_apply(model, {"params": params}, x,
+                                quantized_paths=frozenset())
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=0)
