@@ -204,30 +204,47 @@ def bench_compute_only(forward, params) -> float:
     return ITERS * BATCH / dt
 
 
-def bench_train_step() -> float:
-    """Full ViViT-B train step (preprocess->fwd->bwd->adamw) clips/sec,
-    pre-staged batch, chained iterations. BENCH_TRAIN=1 only (multi-minute
-    remote compile)."""
+def bench_train_step(model_name: str = "vivit") -> float:
+    """Full train step (preprocess->fwd->bwd->opt) clips/sec for one model
+    family, pre-staged batch, chained iterations. BENCH_TRAIN=1 only
+    (multi-minute remote compile); BENCH_TRAIN_MODELS picks families."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    from laryngeal_tpu.models.registry import get_model_spec
+    from laryngeal_tpu.models.registry import create_model, get_model_spec
     from laryngeal_tpu.train.state import create_train_state
     from laryngeal_tpu.train.steps import make_train_step
 
-    model, _ = build_model()
-    spec = get_model_spec("vivit")
+    spec = get_model_spec(model_name)
+    # Each family trains at its reference default clip length (timesformer
+    # is an 8-frame model — 32 frames would be off-spec and OOM at B8).
+    frames = spec.default_num_frames
+    trainable_mask_fn = None
+    if model_name == "vivit":
+        model, _ = build_model()
+    else:
+        kwargs = {"num_classes": 2}
+        if model_name == "timesformer":
+            kwargs.update(num_frames=frames, image_size=CROP)
+        if model_name == "swin3d":
+            kwargs.update(model_size="tiny")
+        if model_name == "resnet50_lstm":
+            from laryngeal_tpu.models.resnet import backbone_param_mask
+
+            trainable_mask_fn = backbone_param_mask
+        model = create_model(model_name, dtype=jnp.bfloat16, **kwargs)
     state = create_train_state(
         model, jax.random.PRNGKey(0),
-        jnp.zeros((1, NUM_FRAMES, CROP, CROP, 3), jnp.float32),
+        jnp.zeros((1, frames, CROP, CROP, 3), jnp.float32),
         optimizer=spec.optimizer, learning_rate=1e-3, weight_decay=0.01,
+        trainable_mask_fn=trainable_mask_fn,
     )
     step = make_train_step(model, spec.preprocess_regime, spec.loss, crop=CROP)
 
     rng = np.random.default_rng(11)
     pixel = jnp.asarray(rng.integers(
-        0, 255, (BATCH, NUM_FRAMES, CROP, CROP, 3), dtype=np.uint8))
+        0, 255, (BATCH, frames, CROP, CROP, 3), dtype=np.uint8))
     labels = jnp.asarray(rng.integers(0, 2, (BATCH,)).astype(np.int32))
     mask = jnp.ones((BATCH,), jnp.bool_)
     key = jax.random.PRNGKey(1)
@@ -422,7 +439,11 @@ def main():
         "compute_share_pct": round(100 * t_compute / t_total, 1),
     }
     if os.environ.get("BENCH_TRAIN") == "1":
-        breakdown["train_clips_per_sec_compute"] = round(bench_train_step(), 2)
+        families = os.environ.get("BENCH_TRAIN_MODELS", "vivit").split(",")
+        for fam in families:
+            key = ("train_clips_per_sec_compute" if fam == "vivit"
+                   else f"train_clips_per_sec_compute_{fam}")
+            breakdown[key] = round(bench_train_step(fam), 2)
 
     try:
         baseline = get_baseline(paths)

@@ -67,6 +67,12 @@ def quantize_params(params, exclude: Sequence[str] = DEFAULT_EXCLUDE):
     The returned paths name the parent Dense module (tuple of tree keys up
     to but excluding ``kernel``) — the interceptor matches on them.
     """
+    try:  # legacy FrozenDict trees would otherwise walk as opaque leaves
+        from flax.core import unfreeze
+
+        params = unfreeze(params)
+    except Exception:
+        pass
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
     quantized_paths = set()
     for keypath, value in flat:
