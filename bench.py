@@ -439,7 +439,9 @@ def main():
         "compute_share_pct": round(100 * t_compute / t_total, 1),
     }
     if os.environ.get("BENCH_TRAIN") == "1":
-        families = os.environ.get("BENCH_TRAIN_MODELS", "vivit").split(",")
+        families = [f.strip() for f in
+                    os.environ.get("BENCH_TRAIN_MODELS", "vivit").split(",")
+                    if f.strip()]
         for fam in families:
             key = ("train_clips_per_sec_compute" if fam == "vivit"
                    else f"train_clips_per_sec_compute_{fam}")

@@ -19,9 +19,11 @@ ops         Pallas TPU kernels (attention, tubelet embed, window attention)
 parallel    mesh + sharding definitions (data/model axes over ICI)
 train       train state, step functions, losses, selection policies
 evals       metrics (numpy), threshold search, evaluator
-infer       single-graph decode->logits predictor, batch mode
-utils       experiment logger, visualization, tracking
-cli         main.py / inference.py preserving the reference flag surface
+infer       single-graph decode->logits predictor, batch mode, AOT export
+serve       HTTP inference server with dynamic batching
+compat      torch/HF -> Flax weight converters + layout manifests
+utils       experiment logger, visualization, tracking, compile cache
+cli         main/inference/serve/export preserving the reference flag surface
 """
 
 __version__ = "0.1.0"

@@ -70,6 +70,17 @@ def main(argv=None, model_default=None):
         from ..infer.export import ExportedPredictor
 
         predictor = ExportedPredictor.load(args.exported, logger=logger)
+        # The artifact bakes sampling/shape decisions at export time.
+        overridden = [f for f, d in (("--sampling_method", "uniform"),
+                                     ("--num_frames", None),
+                                     ("--crop_size", None))
+                      if getattr(args, f[2:]) not in (d, None)]
+        if overridden:
+            logger.warning(
+                "%s ignored with --exported — the artifact pins "
+                "sampling_method=%s num_frames=%d crop_size=%d",
+                "/".join(overridden), predictor.sampling_method,
+                predictor.num_frames, predictor.crop_size)
     else:
         from ..infer.predictor import Predictor
 

@@ -81,12 +81,15 @@ def main(argv=None, model_default=None):
             num_layers=args.num_layers,
             logger=logger,
         )
-    # Compile the serving shape before accepting traffic: the first request
-    # must not eat the (remote) jit compile.
+    # Compile the serving shape AND pay the relay's first-large-transfer
+    # session warmup before accepting traffic (random bytes, not zeros —
+    # the relay content-compresses, so a zeros batch skips the warmup and
+    # the first real request would eat it; CLAUDE.md relay rules).
     import numpy as np
 
-    warm = np.zeros((args.max_batch, predictor.num_frames,
-                     predictor.crop_size, predictor.crop_size, 3), np.uint8)
+    warm = np.random.default_rng(0).integers(
+        0, 256, (args.max_batch, predictor.num_frames,
+                 predictor.crop_size, predictor.crop_size, 3), dtype=np.uint8)
     predictor.predict_clip(warm)
     logger.info("Forward graph compiled for batch shape %s", warm.shape)
 

@@ -34,6 +34,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .base import VideoPredictorBase
+
 _META_NAME = "meta.json"
 _FORMAT_VERSION = 1
 
@@ -162,12 +164,26 @@ class ExportedModel:
     def batch_sizes(self) -> List[int]:
         return list(self._by_batch)
 
-    def predict(self, clips_u8: np.ndarray) -> np.ndarray:
-        """(B,T,H,W,C) or (T,H,W,C) uint8 -> (B, num_classes) float probs."""
+    def predict(self, clips_u8) -> np.ndarray:
+        """(B,T,H,W,C) or (T,H,W,C) uint8 -> (B, num_classes) float probs.
+
+        Accepts numpy or device arrays; a device array whose batch exactly
+        matches an exported graph runs directly (no host round-trip — the
+        batch-serving path stages batches on device already)."""
+        if isinstance(clips_u8, jax.Array) and clips_u8.ndim == 5:
+            b = int(clips_u8.shape[0])
+            fit = next((s for s in self.batch_sizes if s >= b), None)
+            if fit is not None:
+                chunk = (clips_u8 if fit == b else jnp.pad(
+                    clips_u8, [(0, fit - b)] + [(0, 0)] * 4))
+                return np.asarray(self._calls[fit](chunk)[:b])
+            # b exceeds every exported size: fall through to host chunking.
         clips_u8 = np.asarray(clips_u8, dtype=np.uint8)
         if clips_u8.ndim == 4:
             clips_u8 = clips_u8[None]
         b = clips_u8.shape[0]
+        if b == 0:
+            return np.zeros((0, len(self.class_labels)), np.float32)
         sizes = self.batch_sizes
         out = []
         done = 0
@@ -186,13 +202,12 @@ class ExportedModel:
         return np.concatenate(out, axis=0)
 
 
-class ExportedPredictor:
+class ExportedPredictor(VideoPredictorBase):
     """Artifact-backed drop-in for ``infer.predictor.Predictor``.
 
-    Reuses Predictor's sampling/decode/result machinery (unbound methods —
-    they only touch host-side attributes and ``self._forward``) while the
-    forward runs through the AOT artifact: the inference CLI works
-    end-to-end with no model code or checkpoint on the serving host.
+    Inherits the host-side sampling/decode/batching/result machinery from
+    ``infer.base`` (which pulls in no model code), so the inference CLI and
+    server work end-to-end with only the artifact bytes on the host.
     """
 
     def __init__(self, exported: ExportedModel, logger=None):
@@ -206,8 +221,8 @@ class ExportedPredictor:
         self.model = None
         self.spec = SimpleNamespace(name=meta.get("model"),
                                     per_video_seed=meta.get("per_video_seed", False))
-        # predict_clip/predict_videos pass state fields into _forward; the
-        # artifact ignores them (weights are baked into the graph).
+        # predict_videos passes state fields into _forward; the artifact
+        # ignores them (weights are baked into the graph).
         self.state = SimpleNamespace(params=None, batch_stats=None)
         self.class_labels = list(exported.class_labels)
         self.num_frames = exported.num_frames
@@ -216,24 +231,22 @@ class ExportedPredictor:
         self.logger = logger or logging.getLogger(__name__)
         self.sampler = FrameSampler(self.sampling_method, self.num_frames,
                                     per_video_seed=self.spec.per_video_seed)
+        # Device batches from predict_videos run the exported graph directly
+        # (ExportedModel.predict's device fast path) — no host round-trip.
         self._forward = lambda params, batch_stats, pixel_u8: (
-            exported.predict(np.asarray(pixel_u8)))
+            exported.predict(pixel_u8))
 
     @classmethod
     def load(cls, path, logger=None) -> "ExportedPredictor":
         return cls(ExportedModel.load(path), logger=logger)
 
-    # Host-side behavior is identical to the checkpoint-backed predictor —
-    # borrow its methods rather than fork them.
-    from .predictor import Predictor as _P
-
-    extract_clip_with_indices = _P.extract_clip_with_indices
-    extract_clip = _P.extract_clip
-    predict_clip = _P.predict_clip
-    _result = _P._result
-    predict_video = _P.predict_video
-    predict_videos = _P.predict_videos
-    del _P
+    def predict_clip(self, clip_u8: np.ndarray) -> np.ndarray:
+        """Host clips go straight to the artifact (its own batch routing
+        pads/uploads once) instead of the base's upload-then-forward."""
+        clip_u8 = np.asarray(clip_u8)
+        if clip_u8.ndim == 4:
+            clip_u8 = clip_u8[None]
+        return self.exported.predict(clip_u8)
 
 
 def export_checkpoint(model_name: str, checkpoint_path, out_path,

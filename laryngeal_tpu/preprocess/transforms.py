@@ -180,8 +180,6 @@ def temporal_delta_encode(clip_u8):
     deltas 54 MB/s effective on synthetic video; real video compresses
     further). Exact uint8 wraparound: frame[0] unchanged,
     delta[t] = frame[t] - frame[t-1] (mod 256)."""
-    import numpy as np
-
     out = clip_u8.copy()
     out[1:] = clip_u8[1:] - clip_u8[:-1]  # uint8 arithmetic wraps mod 256
     return out
