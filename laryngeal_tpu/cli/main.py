@@ -96,6 +96,11 @@ def build_parser(model_default: str = None) -> argparse.ArgumentParser:
                         "(activation memory / grad_accum, identical update "
                         "for BN-free models; batch_size must divide evenly)")
     p.add_argument("--bf16", action="store_true", help="bfloat16 compute")
+    p.add_argument("--remat", action="store_true",
+                   help="Rematerialize each transformer block in the backward "
+                        "pass (jax.checkpoint): ~30%% more FLOPs for O(layers) "
+                        "less activation HBM — e.g. TimeSformer at 32 frames "
+                        "OOMs at batch 8 without it (transformer families)")
     p.add_argument("--no_cache_clips", action="store_true")
     p.add_argument("--clip_cache_mb", type=int, default=2048,
                    help="RAM budget (MiB) for the decoded-clip LRU cache")
@@ -154,6 +159,11 @@ def run(args) -> dict:
         model_kwargs.update(num_frames=num_frames, image_size=image_size)
     if args.model == "swin3d":
         model_kwargs.update(model_size=args.model_size)
+    if args.remat:
+        if args.model not in ("vivit", "timesformer", "swin3d"):
+            raise SystemExit("--remat applies to the transformer families "
+                             "(vivit/timesformer/swin3d)")
+        model_kwargs["remat"] = True
     if args.model == "resnet50_lstm":
         model_kwargs.update(hidden_size=args.hidden_size,
                             num_layers=args.num_layers, dropout=args.dropout)

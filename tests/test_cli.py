@@ -110,3 +110,22 @@ def test_test_dir_alias(synth_root, tmp_path):
     c = parser.parse_args(["--model", "resnet50_lstm", "--data_dir", "d",
                            "--sequence_length", "16"])
     assert c.num_frames == 16
+
+
+def test_remat_flag(synth_root, tmp_path):
+    """--remat trains through jax.checkpoint'd blocks and pins the choice
+    in checkpoint metadata; CNN families reject it."""
+    result = train_cli.main([
+        "--model", "vivit", "--data_dir", str(synth_root),
+        "--log_dir", str(tmp_path), "--num_frames", "4", "--batch_size", "4",
+        "--epochs", "1", "--crop_size", "64", "--seed", "42", "--remat",
+    ])
+    assert 0.0 <= result["auroc"] <= 1.0
+    cfg = json.loads((Path(result["exp_dir"]) / "training_config.json").read_text())
+    assert cfg["model_kwargs"]["remat"] is True
+
+    with pytest.raises(SystemExit):
+        train_cli.main([
+            "--model", "resnet3d", "--data_dir", str(synth_root),
+            "--log_dir", str(tmp_path), "--epochs", "1", "--remat",
+        ])
