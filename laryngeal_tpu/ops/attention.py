@@ -60,9 +60,10 @@ def dot_product_attention(
     n = max(q.shape[1], k.shape[1])
     # Short sequences go to XLA regardless of impl: the pallas kernel pads
     # to 128-lane blocks and pays per-program grid overhead, which loses
-    # badly at TimeSformer scale (spatial N=197 / temporal N=32 — measured
-    # 2x slower than XLA for the whole model on v5e). The flash kernel's
-    # O(N*D)-memory advantage only matters for long sequences anyway.
+    # at TimeSformer scale (attention-only A/B on v5e, dependence-chained
+    # harness: spatial (256,197) XLA 3.98 ms vs pallas 6.35; temporal
+    # (1576,32) XLA 3.76 vs pallas 16.85). The flash kernel's O(N*D)-memory
+    # advantage only matters for long sequences anyway.
     if impl == "pallas" and q.shape[-1] <= 128 and n >= 512:
         from .flash_attention import flash_attention
 
