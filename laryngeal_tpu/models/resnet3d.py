@@ -14,10 +14,11 @@ Parity target: ``resnet50-3d-video/video_classifier/models/resnet3d.py:4-49``
   head_output_with_global_average=True).
 
 Layout: channels-last (B,T,H,W,C); all convs lower to MXU-tiled XLA convs.
-pytorchvideo is not importable in this image, so parity here is structural
-(stem/stage/head configs transcribed from the reference call) and the
-converter `compat.torch_port` handles its state-dict layout when weights are
-provided.
+pytorchvideo is not importable in this image; parity is pinned by (a) the
+vendored key/shape manifest (compat/manifests.py) and (b) end-to-end logit
+parity vs a plain-torch reimplementation of the create_resnet architecture
+with pytorchvideo's exact state-dict layout (tests/test_resnet3d_parity.py)
+— real pretrained weights load through `compat.torch_port.port_resnet3d`.
 """
 
 from __future__ import annotations
