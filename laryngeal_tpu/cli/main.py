@@ -144,6 +144,16 @@ def run(args) -> dict:
     num_frames = args.num_frames or spec.default_num_frames
     image_size = args.image_size or args.crop_size
 
+    # Pure flag validation BEFORE the experiment dir exists — a rejected
+    # combination must not litter --log_dir with empty run directories.
+    if args.remat and args.model not in ("vivit", "timesformer", "swin3d"):
+        raise SystemExit("--remat applies to the transformer families "
+                         "(vivit/timesformer/swin3d)")
+    if args.grad_accum_steps > 1 and args.batch_size % args.grad_accum_steps:
+        raise SystemExit(
+            f"--batch_size {args.batch_size} must be divisible by "
+            f"--grad_accum_steps {args.grad_accum_steps}")
+
     random.seed(args.seed)
     np.random.seed(args.seed)
 
@@ -160,9 +170,6 @@ def run(args) -> dict:
     if args.model == "swin3d":
         model_kwargs.update(model_size=args.model_size)
     if args.remat:
-        if args.model not in ("vivit", "timesformer", "swin3d"):
-            raise SystemExit("--remat applies to the transformer families "
-                             "(vivit/timesformer/swin3d)")
         model_kwargs["remat"] = True
     if args.model == "resnet50_lstm":
         model_kwargs.update(hidden_size=args.hidden_size,
@@ -190,11 +197,6 @@ def run(args) -> dict:
     for split in ("train", "val", "test"):
         ds = loaders[split].dataset
         logger.info("%s: %d videos %s", split, len(ds), ds.class_counts)
-
-    if args.grad_accum_steps > 1 and args.batch_size % args.grad_accum_steps:
-        raise SystemExit(
-            f"--batch_size {args.batch_size} must be divisible by "
-            f"--grad_accum_steps {args.grad_accum_steps}")
 
     mesh = None
     if args.mesh_model > 1:

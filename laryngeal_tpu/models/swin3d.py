@@ -277,16 +277,22 @@ class SwinTransformer3D(nn.Module):
         total_blocks = sum(cfg.depths)
         block_id = 0
         dim = cfg.embed_dim
-        block_cls = nn.remat(SwinBlock3D) if cfg.remat else SwinBlock3D
+        # `train` must stay a static argument under remat: DropPath branches
+        # on it in Python. flax argnums count self at 0, so train is 2 —
+        # and it must be passed POSITIONALLY (kwargs stay traced).
+        block_cls = (nn.remat(SwinBlock3D, static_argnums=(2,))
+                     if cfg.remat else SwinBlock3D)
         for stage, depth in enumerate(cfg.depths):
             for i in range(depth):
                 sd = cfg.stochastic_depth * block_id / max(total_blocks - 1, 1)
                 shift = tuple(0 if i % 2 == 0 else wsz // 2 for wsz in cfg.window)
+                # train passed positionally: remat's static_argnums can only
+                # mark positional args static (kwargs stay traced).
                 x = block_cls(
                     dim, cfg.num_heads[stage], window=cfg.window, shift=shift,
                     mlp_ratio=cfg.mlp_ratio, drop_path=sd, dtype=cfg.dtype,
                     name=f"stage{stage + 1}_block{i}",
-                )(x, train=train)
+                )(x, train)
                 block_id += 1
             if stage < len(cfg.depths) - 1:
                 x = PatchMerging(dim, dtype=cfg.dtype, name=f"merge{stage + 1}")(x)

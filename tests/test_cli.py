@@ -129,3 +129,23 @@ def test_remat_flag(synth_root, tmp_path):
             "--model", "resnet3d", "--data_dir", str(synth_root),
             "--log_dir", str(tmp_path), "--epochs", "1", "--remat",
         ])
+    # Rejected flag combos must not leave empty experiment dirs behind.
+    assert not [d for d in tmp_path.iterdir()
+                if d.is_dir() and d.name.startswith("resnet3d")]
+
+
+def test_remat_swin3d_grad():
+    """swin3d remat traces (DropPath branches on the static train arg) and
+    differentiates — regression for the kwarg-traced-train crash."""
+    import jax
+    import jax.numpy as jnp
+
+    from laryngeal_tpu.models.swin3d import create_swin3d
+
+    m = create_swin3d("tiny", num_classes=2, remat=True)
+    x = jnp.zeros((1, 4, 32, 32, 3), jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), x, train=False)
+    g = jax.grad(lambda p: m.apply({"params": p}, x, train=False).sum())(
+        v["params"])
+    assert jax.tree_util.tree_structure(g) == jax.tree_util.tree_structure(
+        v["params"])

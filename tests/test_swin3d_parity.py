@@ -26,7 +26,26 @@ import torch.nn as tnn
 import jax.numpy as jnp
 
 from laryngeal_tpu.compat.torch_port import port_swin3d
-from laryngeal_tpu.models.swin3d import create_swin3d, relative_position_index
+from laryngeal_tpu.models.swin3d import create_swin3d
+
+
+def torch_relative_position_index(window, full_window):
+    """Independent reimplementation of torchvision's rel-pos index (the
+    framework's version is deliberately NOT imported: a wrong-but-shape-valid
+    permutation there must fail this parity test, not cancel out)."""
+    wt, wh, ww = window
+    ft, fh, fw = full_window
+    coords = torch.stack(torch.meshgrid(
+        torch.arange(wt), torch.arange(wh), torch.arange(ww), indexing="ij"))
+    flat = torch.flatten(coords, 1)                      # (3, N)
+    rel = flat[:, :, None] - flat[:, None, :]            # (3, N, N)
+    rel = rel.permute(1, 2, 0).contiguous()
+    rel[:, :, 0] += ft - 1
+    rel[:, :, 1] += fh - 1
+    rel[:, :, 2] += fw - 1
+    rel[:, :, 0] *= (2 * fh - 1) * (2 * fw - 1)
+    rel[:, :, 1] *= 2 * fw - 1
+    return rel.sum(-1)                                   # (N, N)
 
 WINDOW = (8, 7, 7)
 DEPTHS = (2, 2, 6, 2)
@@ -73,8 +92,7 @@ class TorchShiftedWindowAttention3d(tnn.Module):
         q, k, v = qkv[0], qkv[1], qkv[2]
         attn = (q * (c // self.num_heads) ** -0.5) @ k.transpose(-2, -1)
 
-        idx = torch.from_numpy(
-            relative_position_index(window, self.window).reshape(-1))
+        idx = torch_relative_position_index(window, self.window).reshape(-1)
         bias = self.relative_position_bias_table[idx].reshape(
             n, n, self.num_heads).permute(2, 0, 1)
         attn = attn + bias.unsqueeze(0)

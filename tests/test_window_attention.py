@@ -111,3 +111,25 @@ def test_no_broadcast_bias_in_pallas_jaxpr():
         and a.shape[-1] == n and a.shape[-2] == n and np.prod(a.shape[:-2]) > h * nw
     ]
     assert not offenders, f"broadcast bias materialized: {offenders}"
+
+
+def test_gradients_batched_windows_multi_rid():
+    """nwin>1 with per-window region ids — the production shifted-block
+    configuration (stage-1 runs nwin=8, rid block index rem(bwi, nw//nwin)).
+    Gradients through the batched kernel must match the XLA reference."""
+    q, k, v, bias, rid = make_inputs(bw=16, n=40, h=2, d=16, nw=8, seed=11)
+    from laryngeal_tpu.ops.window_attention import _pick_nwin
+
+    assert _pick_nwin(16, 8) == 8  # this case exercises the batched path
+
+    def loss_pallas(q, k, v, bias):
+        return (window_attention_pallas(q, k, v, bias, rid) ** 2).sum()
+
+    def loss_ref(q, k, v, bias):
+        return (reference(q, k, v, bias, rid) ** 2).sum()
+
+    gp = jax.grad(loss_pallas, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    for a, b in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-4, rtol=1e-3)
