@@ -146,3 +146,23 @@ def test_quantized_export_roundtrip(trained, artifact, tmp_path):
     pq, pf = q.predict(clips), f32.predict(clips)
     np.testing.assert_allclose(pq, pf, atol=0.06)
     assert (np.argmax(pq, -1) == np.argmax(pf, -1)).all()
+
+
+def test_exported_model_edge_batches(artifact):
+    """Empty batches return (0, C); device arrays take the no-round-trip
+    fast path (pad on device, trim after) and match the host path."""
+    import jax.numpy as jnp
+
+    exported = ExportedModel.load(artifact)
+    empty = exported.predict(np.zeros((0, 4, 64, 64, 3), np.uint8))
+    assert empty.shape == (0, 2)
+
+    rng = np.random.default_rng(11)
+    clips = rng.integers(0, 256, (1, 4, 64, 64, 3), dtype=np.uint8)
+    host = exported.predict(clips)
+    dev = exported.predict(jnp.asarray(clips))  # b=1 fits the b1 graph
+    np.testing.assert_allclose(dev, host, atol=1e-6)
+    # b=2 on-device pads onto the b2 graph; b=3 exceeds all -> host chunking.
+    clips3 = rng.integers(0, 256, (3, 4, 64, 64, 3), dtype=np.uint8)
+    np.testing.assert_allclose(exported.predict(jnp.asarray(clips3)),
+                               exported.predict(clips3), atol=1e-6)
