@@ -76,3 +76,20 @@ def test_interceptor_leaves_unquantized_models_alone():
     got = quant.quantized_apply(model, {"params": params}, x,
                                 quantized_paths=frozenset())
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=0)
+
+
+def test_quantized_apply_swin3d():
+    """W8A8 applies to Swin3D's qkv/proj/mlp Dense layers through the same
+    interceptor (path matching is model-agnostic)."""
+    from laryngeal_tpu.models.swin3d import create_swin3d
+
+    model = create_swin3d("tiny", num_classes=2)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 32, 32, 3)) * 40
+    params = model.init(jax.random.PRNGKey(1), x, train=False)["params"]
+    qparams, paths = quant.quantize_params(params)
+    assert any("attn" in "/".join(p) for p in paths)      # qkv/proj quantized
+    assert ("head",) not in paths                          # head excluded
+    ref = jax.nn.softmax(model.apply({"params": params}, x, train=False))
+    got = jax.nn.softmax(quant.quantized_apply(
+        model, {"params": qparams}, x, train=False, quantized_paths=paths))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=0.05)
