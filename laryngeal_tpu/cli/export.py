@@ -28,7 +28,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Comma-separated batch sizes to AOT-compile")
     p.add_argument("--quantize", type=str, default=None, choices=["int8"],
                    help="Bake W8A8 dynamically-quantized Dense layers "
-                        "(~3x MXU matmul throughput, ~4x smaller artifact)")
+                        "(~4x smaller artifact, 8e-4 measured prob drift; "
+                        "speed-neutral here — fwd is attention-bound)")
     p.add_argument("--platforms", type=str, default=None,
                    help="Comma-separated jax platforms to lower for "
                         "(default: current backend; e.g. 'cpu,tpu')")

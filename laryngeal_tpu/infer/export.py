@@ -47,10 +47,12 @@ def export_predictor(predictor, batch_sizes: Sequence[int] = (1, 8),
 
     Weights are closed over (baked into the StableHLO as constants), so the
     artifact is self-contained. ``quantize="int8"`` bakes W8A8
-    dynamically-quantized Dense layers instead (``ops.quant``): ~3x matmul
-    throughput on the MXU and ~4x smaller artifacts for the transformer
-    families. Returns ``{"meta": dict, "blobs": {N: bytes}}``; use
-    :func:`save_exported` to write the zip.
+    dynamically-quantized Dense layers instead (``ops.quant``): ~4x smaller
+    artifacts for the transformer families at 8e-4 measured probability
+    drift; speed-neutral on this chip (the fwd is attention-bound —
+    BASELINE.md), faster where the MXU's int8 rate is realized. Returns
+    ``{"meta": dict, "blobs": {N: bytes}}``; use :func:`save_exported` to
+    write the zip.
     """
     from jax import export as jexport
 

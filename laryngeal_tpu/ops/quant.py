@@ -1,10 +1,12 @@
 """W8A8 dynamic-quantized inference (int8 on the MXU).
 
-The v5e MXU runs int8 x int8 -> int32 matmuls at 2x the bf16 rate
-(394 vs 197 TOPS nominal), and the transformer families spend ~60% of their
-forward FLOPs in weight matmuls (qkv/out projections + MLP). Quantization
-here is an INFERENCE/EXPORT-time transformation — the training path never
-sees it:
+The v5e MXU nominally runs int8 x int8 -> int32 at 2x the bf16 rate
+(394 vs 197 TOPS). Measured reality on this chip (BASELINE.md): the ViViT-B
+forward is attention-bound and XLA's int8 dot barely beats bf16 at these
+dense shapes, so W8A8 is SPEED-NEUTRAL here — its value is ~4x smaller
+export artifacts at 8e-4 probability drift, with upside on hardware where
+the int8 rate is realized. Quantization is an INFERENCE/EXPORT-time
+transformation — the training path never sees it:
 
 - ``quantize_params``: walks a Flax param tree and replaces every eligible
   Dense kernel (2-D, both dims >= 128, not on the exclusion list) with a
