@@ -30,6 +30,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Bake W8A8 dynamically-quantized Dense layers "
                         "(~4x smaller artifact, 8e-4 measured prob drift; "
                         "speed-neutral here — fwd is attention-bound)")
+    p.add_argument("--weights_dtype", type=str, default=None,
+                   choices=["bf16"],
+                   help="Bake weights at reduced precision (half the "
+                        "artifact; numerically free for bf16-compute models)")
     p.add_argument("--platforms", type=str, default=None,
                    help="Comma-separated jax platforms to lower for "
                         "(default: current backend; e.g. 'cpu,tpu')")
@@ -54,6 +58,7 @@ def main(argv=None):
     path = export_checkpoint(
         args.model, args.model_path, args.out,
         batch_sizes=batch_sizes, platforms=platforms, quantize=args.quantize,
+        weights_dtype=args.weights_dtype,
         num_frames=args.num_frames, sampling_method=args.sampling_method,
         num_classes=args.num_classes, crop_size=args.crop_size,
         image_size=args.image_size, model_size=args.model_size,

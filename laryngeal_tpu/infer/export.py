@@ -42,7 +42,8 @@ _FORMAT_VERSION = 1
 
 def export_predictor(predictor, batch_sizes: Sequence[int] = (1, 8),
                      platforms: Optional[Sequence[str]] = None,
-                     quantize: Optional[str] = None) -> Dict:
+                     quantize: Optional[str] = None,
+                     weights_dtype: Optional[str] = None) -> Dict:
     """AOT-export ``predictor``'s jitted forward at each batch size.
 
     Weights are closed over (baked into the StableHLO as constants), so the
@@ -59,6 +60,17 @@ def export_predictor(predictor, batch_sizes: Sequence[int] = (1, 8),
     params = predictor.state.params
     batch_stats = predictor.state.batch_stats
     t, hw = predictor.num_frames, predictor.crop_size
+
+    if weights_dtype == "bf16":
+        # Halves baked-constant bytes. Numerically FREE for bf16-compute
+        # models (their ops cast f32 params to bf16 at use anyway); for
+        # f32-compute models it introduces bf16 rounding on the weights.
+        cast = lambda x: (x.astype(jnp.bfloat16)
+                          if hasattr(x, "dtype") and x.dtype == jnp.float32
+                          else x)
+        params = jax.tree_util.tree_map(cast, params)
+    elif weights_dtype:
+        raise ValueError(f"unknown weights_dtype {weights_dtype!r} (use 'bf16')")
 
     quant_paths = None
     if quantize == "int8":
@@ -107,6 +119,7 @@ def export_predictor(predictor, batch_sizes: Sequence[int] = (1, 8),
         "sampling_method": predictor.sampling_method,
         "per_video_seed": bool(getattr(predictor.spec, "per_video_seed", False)),
         "quantize": quantize,
+        "weights_dtype": weights_dtype or "f32",
         "batch_sizes": sorted(blobs),
         "platforms": list(platforms) if platforms else [jax.default_backend()],
         "exported_at": datetime.now().isoformat(),
@@ -255,6 +268,7 @@ def export_checkpoint(model_name: str, checkpoint_path, out_path,
                       batch_sizes: Sequence[int] = (1, 8),
                       platforms: Optional[Sequence[str]] = None,
                       quantize: Optional[str] = None,
+                      weights_dtype: Optional[str] = None,
                       **predictor_kwargs) -> Path:
     """Checkpoint dir -> serialized artifact file (CLI entry's core)."""
     from .predictor import Predictor
@@ -262,5 +276,5 @@ def export_checkpoint(model_name: str, checkpoint_path, out_path,
     predictor = Predictor.from_checkpoint(model_name, checkpoint_path,
                                           **predictor_kwargs)
     artifact = export_predictor(predictor, batch_sizes, platforms,
-                                quantize=quantize)
+                                quantize=quantize, weights_dtype=weights_dtype)
     return save_exported(artifact, out_path)

@@ -166,3 +166,23 @@ def test_exported_model_edge_batches(artifact):
     clips3 = rng.integers(0, 256, (3, 4, 64, 64, 3), dtype=np.uint8)
     np.testing.assert_allclose(exported.predict(jnp.asarray(clips3)),
                                exported.predict(clips3), atol=1e-6)
+
+
+def test_bf16_weights_export(trained, artifact, tmp_path):
+    """--weights_dtype bf16 halves baked constants with tiny drift."""
+    out = tmp_path / "vivit_bf16.lxa"
+    export_cli.main([
+        "--model", "vivit",
+        "--model_path", str(Path(trained["exp_dir"]) / "best_model"),
+        "--out", str(out), "--batch_sizes", "2",
+        "--num_frames", "4", "--crop_size", "64", "--weights_dtype", "bf16",
+    ])
+    bf16 = ExportedModel.load(out)
+    assert bf16.meta["weights_dtype"] == "bf16"
+    f32 = ExportedModel.load(artifact)
+    # b2 graph vs f32's b1+b2: well under half.
+    assert out.stat().st_size < artifact.stat().st_size * 0.4
+    rng = np.random.default_rng(13)
+    clips = rng.integers(0, 256, (2, 4, 64, 64, 3), dtype=np.uint8)
+    np.testing.assert_allclose(bf16.predict(clips), f32.predict(clips),
+                               atol=0.02)
