@@ -446,6 +446,13 @@ def main():
             key = ("train_clips_per_sec_compute" if fam == "vivit"
                    else f"train_clips_per_sec_compute_{fam}")
             breakdown[key] = round(bench_train_step(fam), 2)
+            # Each family leaves its compiled train executables (and their
+            # device allocations) in the jit cache; five f32 train states
+            # plus the e2e graphs OOM a 16 GB chip. The persistent compile
+            # cache makes the drop nearly free.
+            import jax
+
+            jax.clear_caches()
 
     try:
         baseline = get_baseline(paths)

@@ -190,7 +190,12 @@ def _window_attention_bwd_impl(q, k, v, bias, region_id, g, interpret):
     qt, kt, vt, bias_f, rid = _prep(q, k, v, bias, region_id)
     gt = g.transpose(0, 2, 1, 3)
     nw = rid.shape[0]
-    nwin = _pick_nwin(bw, nw)
+    # The backward holds ~4x the fwd's live tiles per window (s/p/dp/ds +
+    # three output blocks); on Mosaic the statically unrolled multi-window
+    # loop exceeded the 16 MB scoped-VMEM limit at nwin=8 (measured 18.1 MB
+    # at the N=392 stage-1 shape). One window per program is the proven
+    # configuration — only the forward batches windows.
+    nwin = 1
     qkv_spec, bias_spec, rid_spec = _specs(bw, h, n, d, nw, nwin, interpret)
     dq, dk, dv, dbias = pl.pallas_call(
         functools.partial(_bwd_kernel, scale=scale, nwin=nwin),
