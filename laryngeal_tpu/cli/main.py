@@ -18,6 +18,7 @@ main.py, videoswintransformer/main.py:41-45. TPU-specific additions:
 from __future__ import annotations
 
 import argparse
+import os
 import random
 import sys
 
@@ -50,11 +51,27 @@ def build_parser(model_default: str = None) -> argparse.ArgumentParser:
     p.add_argument("--num_classes", type=int, default=2)
     p.add_argument("--model_size", type=str, default="tiny",
                    help="swin3d size: tiny|small|base|base_in22k")
-    p.add_argument("--pretrained", action="store_true", default=True)
+    p.add_argument("--pretrained", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="Start from the reference-default pretrained weights "
+                        "(HF k400 for vivit/timesformer, torchvision Kinetics "
+                        "for swin3d, ImageNet trunk for resnet50_lstm; "
+                        "resnet3d is random-init in the reference). Fetched "
+                        "from local caches or the network; on failure a LOUD "
+                        "random-init warning fires. --no-pretrained disables.")
     p.add_argument("--torch_weights", type=str, default=None,
                    help="Path to a torch state_dict (.pth/.npz) to convert and load")
-    p.add_argument("--hidden_size", type=int, default=256)
-    p.add_argument("--num_layers", type=int, default=2)
+    p.add_argument("--hidden_size", type=int, default=None,
+                   help="resnet50_lstm LSTM width (default 256); for "
+                        "vivit/timesformer, an explicit transformer width "
+                        "override (small-scale experiments / parity runs)")
+    p.add_argument("--num_layers", type=int, default=None,
+                   help="resnet50_lstm LSTM depth (default 2); for "
+                        "vivit/timesformer, encoder depth override")
+    p.add_argument("--num_heads", type=int, default=None,
+                   help="vivit/timesformer attention heads override")
+    p.add_argument("--intermediate_size", type=int, default=None,
+                   help="vivit/timesformer MLP width override")
     p.add_argument("--dropout", type=float, default=0.5)
     # Training.
     p.add_argument("--batch_size", type=int, default=4)
@@ -88,7 +105,7 @@ def build_parser(model_default: str = None) -> argparse.ArgumentParser:
     p.add_argument("--mesh_model", type=int, default=1,
                    help="Model-axis (tensor-parallel) device count; composes "
                         "with --mesh_data on one mesh (Megatron-style "
-                        "attention/MLP sharding, transformer families)")
+                        "attention/MLP sharding; vivit/timesformer/swin3d)")
     p.add_argument("--crop_size", type=int, default=224)
     p.add_argument("--grad_accum_steps", type=int, default=1,
                    help="Split each batch into this many micro-batches and "
@@ -167,13 +184,30 @@ def run(args) -> dict:
     model_kwargs = dict(num_classes=args.num_classes, dtype=dtype)
     if args.model in ("vivit", "timesformer"):
         model_kwargs.update(num_frames=num_frames, image_size=image_size)
+        for k in ("hidden_size", "num_layers", "num_heads",
+                  "intermediate_size"):
+            v = getattr(args, k)
+            if v is not None:
+                model_kwargs[k] = v
     if args.model == "swin3d":
         model_kwargs.update(model_size=args.model_size)
     if args.remat:
         model_kwargs["remat"] = True
+    elif (args.model == "timesformer"
+          and num_frames * args.batch_size >= 32 * 8
+          and jax.default_backend() == "tpu"):
+        # Auto-remat past the measured HBM cliff: TimeSformer at its
+        # reference-default 32 frames (timesformer/main.py:39) OOMs a single
+        # 16 GB chip at batch 8 without rematerialization (BASELINE.md).
+        model_kwargs["remat"] = True
+        logger.info(
+            "Auto-enabling --remat: timesformer at %d frames x batch %d "
+            "exceeds the measured 32fxB8 single-chip HBM cliff", num_frames,
+            args.batch_size)
     if args.model == "resnet50_lstm":
-        model_kwargs.update(hidden_size=args.hidden_size,
-                            num_layers=args.num_layers, dropout=args.dropout)
+        model_kwargs.update(hidden_size=args.hidden_size or 256,
+                            num_layers=args.num_layers or 2,
+                            dropout=args.dropout)
     model = create_model(args.model, **model_kwargs)
 
     loaders = create_dataloaders(
@@ -200,10 +234,11 @@ def run(args) -> dict:
 
     mesh = None
     if args.mesh_model > 1:
-        if spec.name not in ("vivit", "timesformer"):
+        if spec.name not in ("vivit", "timesformer", "swin3d"):
             raise SystemExit(
                 "--mesh_model applies to the transformer families "
-                "(vivit/timesformer); CNN params have no model-axis layout")
+                "(vivit/timesformer/swin3d); CNN params have no "
+                "model-axis layout")
         n_data = args.mesh_data or max(
             1, jax.device_count() // args.mesh_model)
         if args.batch_size % n_data != 0:
@@ -284,6 +319,22 @@ def run(args) -> dict:
 
         trainer.state = load_torch_weights_into_state(
             trainer.state, args.model, args.torch_weights, logger)
+    elif (args.pretrained and not args.checkpoint_path and not args.resume
+          and not args.skip_train
+          and os.environ.get("LARYNGEAL_PRETRAINED", "1") != "0"):
+        from ..compat.pretrained import load_pretrained_into_state
+
+        trainer.state, loaded = load_pretrained_into_state(
+            trainer.state, args.model, model_size=args.model_size,
+            model_id=args.model_name, logger=logger)
+        if not loaded:
+            logger.warning(
+                "PRETRAINED WEIGHTS UNAVAILABLE (no cache, no network): "
+                "training %s from RANDOM INITIALIZATION. The reference "
+                "default fine-tunes pretrained weights — results will NOT "
+                "match it. Provide --torch_weights / a populated HF or "
+                "torch-hub cache, or pass --no-pretrained to silence this.",
+                args.model)
 
     if args.checkpoint_path:
         logger.info("Loading checkpoint %s", args.checkpoint_path)

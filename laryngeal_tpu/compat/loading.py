@@ -25,6 +25,50 @@ def load_torch_state_dict(path):
             for k, v in obj.items()}
 
 
+def reconcile_params(current, converted, logger=None, context=""):
+    """Shape-reconcile a converted torch param tree against the model's own.
+
+    Mirrors the reference's reliance on HF ``ignore_mismatched_sizes=True``
+    (model_configuration.py:39, vivit_transformer/.../models/vivit_model.py:
+    26-41): leaves whose shapes differ from the freshly initialized model —
+    typically the 400-class Kinetics classifier head vs our 2-class head —
+    keep the model's fresh init. One deliberate improvement over the
+    reference: mismatched ``time_embeddings`` tables are linearly
+    interpolated instead of discarded (torch_port.resize_time_embeddings).
+    """
+    from flax import traverse_util
+
+    from .torch_port import resize_time_embeddings
+
+    flat_cur = traverse_util.flatten_dict(current)
+    flat_new = traverse_util.flatten_dict(converted)
+    out = dict(flat_cur)
+    dropped, interped = [], []
+    for k, v in flat_new.items():
+        v = np.asarray(v)
+        cur = flat_cur.get(k)
+        if cur is not None and tuple(np.shape(cur)) != tuple(v.shape):
+            name = "/".join(str(x) for x in k)
+            if "time_embeddings" in k:
+                v = resize_time_embeddings(v, int(np.shape(cur)[1]))
+                interped.append(name)
+            else:
+                dropped.append(name)
+                continue
+        out[k] = v
+    if logger:
+        if interped:
+            logger.info("%sInterpolated temporal embeddings: %s", context,
+                        ", ".join(interped))
+        if dropped:
+            logger.warning(
+                "%sKept fresh init for shape-mismatched tensors (the "
+                "reference re-initializes these via "
+                "ignore_mismatched_sizes=True): %s", context,
+                ", ".join(dropped))
+    return traverse_util.unflatten_dict(out)
+
+
 def load_torch_weights_into_state(state, model_name: str, path, logger=None,
                                   sd=None) -> Any:
     """Convert a torch checkpoint for `model_name` and install it in `state`.
@@ -64,9 +108,9 @@ def load_torch_weights_into_state(state, model_name: str, path, logger=None,
             f"torch weight conversion for {model_name!r} not yet wired")
     if logger:
         logger.info("Loaded torch weights from %s (%d tensors)", path, len(sd))
-    import jax
-
-    state = state.replace(params=jax.tree.map(lambda x: x, new["params"]))
+    state = state.replace(params=reconcile_params(
+        state.params, new["params"], logger=logger,
+        context=f"{model_name}: "))
     if "batch_stats" in new:
         state = state.replace(batch_stats=new["batch_stats"])
     return state

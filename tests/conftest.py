@@ -15,6 +15,10 @@ if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 # Keep XLA CPU compilation light for tests.
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+# CLI tests train from a fixed random init — don't probe weight caches /
+# the (absent) network for the --pretrained default path on every run.
+os.environ.setdefault("LARYNGEAL_PRETRAINED", "0")
+os.environ.setdefault("HF_HUB_OFFLINE", "1")
 
 import jax  # noqa: E402
 
