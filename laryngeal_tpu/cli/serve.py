@@ -29,6 +29,12 @@ def build_parser(model_default=None) -> argparse.ArgumentParser:
                    help="Dynamic-batching window — also the ONE compiled batch shape")
     p.add_argument("--batch_timeout_ms", type=float, default=30.0,
                    help="Max wait to fill a batch before dispatching")
+    p.add_argument("--max_upload_mb", type=float, default=512.0,
+                   help="Reject /predict bodies larger than this (MB)")
+    p.add_argument("--data_root", type=str, default=None,
+                   help="Restrict path-based /predict requests to videos "
+                        "under this directory (recommended whenever --host "
+                        "is not loopback)")
     p.add_argument("--num_frames", type=int, default=None)
     p.add_argument("--sampling_method", type=str, default="uniform",
                    choices=["uniform", "random", "random_window"])
@@ -96,6 +102,7 @@ def main(argv=None, model_default=None):
     server = InferenceServer(
         predictor, host=args.host, port=args.port,
         max_batch=args.max_batch, batch_timeout_ms=args.batch_timeout_ms,
+        max_upload_mb=args.max_upload_mb, data_root=args.data_root,
         logger=logger,
     )
     print(f"serving on http://{args.host}:{server.port}", flush=True)

@@ -74,9 +74,13 @@ def export_predictor(predictor, batch_sizes: Sequence[int] = (1, 8),
 
     quant_paths = None
     if quantize == "int8":
-        from ..ops.quant import quantize_params
+        from ..ops.quant import quantize_conv_kernels, quantize_params
 
         params, quant_paths = quantize_params(params)
+        # Conv kernels: weight-only int8 baked as constants, dequantized
+        # in-graph (XLA folds it on load) — the size win for the conv
+        # families (resnet3d / lstm trunk / patch embeds).
+        params, _ = quantize_conv_kernels(params)
     elif quantize:
         raise ValueError(f"unknown quantize mode {quantize!r} (use 'int8')")
 
@@ -173,6 +177,17 @@ class ExportedModel:
             }
         if not exported:
             raise ValueError(f"no exported graphs in {path}")
+        # Fail with a clear message now, not a cryptic lowering error at the
+        # first call: AOT artifacts only run on the platforms they were
+        # lowered for.
+        backend = jax.default_backend()
+        platforms = [p.lower() for p in meta.get("platforms", [])]
+        if platforms and backend.lower() not in platforms:
+            raise ValueError(
+                f"artifact {path} was exported for platforms {platforms} "
+                f"but the current jax backend is {backend!r}; re-export "
+                f"with platforms=[{backend!r}] (cli.export --platforms) or "
+                f"load it on matching hardware")
         return cls(meta, exported)
 
     @property

@@ -136,9 +136,20 @@ class InferenceServer:
 
     def __init__(self, predictor, host: str = "127.0.0.1", port: int = 8008,
                  max_batch: int = 8, batch_timeout_ms: float = 30.0,
+                 max_upload_mb: float = 512.0, data_root: Optional[str] = None,
                  logger=None):
         self.predictor = predictor
         self.logger = logger or logging.getLogger(__name__)
+        # Abuse-surface controls (dev server, loopback by default):
+        # Content-Length is attacker-controlled — cap uploads; and when a
+        # data_root is configured, path-based predicts may only touch files
+        # under it (otherwise any server-readable path is probe-able).
+        self.max_upload_bytes = int(max_upload_mb * 1e6)
+        self.data_root = Path(data_root).resolve() if data_root else None
+        if host not in ("127.0.0.1", "localhost", "::1") and not data_root:
+            self.logger.warning(
+                "Binding to %s without --data_root: /predict accepts "
+                "arbitrary server-readable video paths", host)
         self.batcher = DynamicBatcher(
             lambda clips: predictor.predict_clip(clips),
             max_batch=max_batch, batch_timeout_ms=batch_timeout_ms,
@@ -180,6 +191,11 @@ class InferenceServer:
                     return
                 try:
                     length = int(self.headers.get("Content-Length", 0))
+                    if length > server.max_upload_bytes:
+                        self._json(413, {"error": (
+                            f"payload {length} bytes exceeds the "
+                            f"{server.max_upload_bytes}-byte upload cap")})
+                        return
                     body = self.rfile.read(length)
                     ctype = (self.headers.get("Content-Type") or "").split(";")[0]
                     result = server.handle_predict(body, ctype)
@@ -210,6 +226,12 @@ class InferenceServer:
             path = req.get("video_path")
             if not path:
                 raise ValueError('JSON body must carry "video_path"')
+            if self.data_root is not None:
+                resolved = Path(path).resolve()
+                if not resolved.is_relative_to(self.data_root):
+                    raise ValueError(
+                        f"video_path must live under the configured data "
+                        f"root {self.data_root}")
             if not Path(path).exists():
                 raise FileNotFoundError(f"no such video: {path}")
             clip, indices, total = pred.extract_clip_with_indices(path)

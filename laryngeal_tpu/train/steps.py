@@ -107,9 +107,22 @@ def make_train_step(
                     f"batch size {batch} not divisible by grad_accum {grad_accum}"
                 )
             micro = batch // grad_accum
-            px = pixel_u8.reshape(grad_accum, micro, *pixel_u8.shape[1:])
-            lb = labels.reshape(grad_accum, micro)
-            mk = mask.reshape(grad_accum, micro)
+            # STRIDED micro-batch split: micro-batch g takes elements
+            # {g, g+ga, g+2ga, ...}. Under a data-parallel mesh each device's
+            # contiguous batch shard contributes exactly micro/n_data
+            # elements to every micro-batch, so the sharding-constraint
+            # re-pin below is a device-local relayout — a consecutive
+            # (ga, micro) reshape would give each micro-batch to a device
+            # *subset* and force an all-to-all per micro-step (round-2
+            # ADVICE). Numerically identical for the accumulated update
+            # (valid-count-weighted sum is permutation-invariant).
+            def _strided(x):
+                perm = (1, 0) + tuple(range(2, x.ndim + 1))
+                return x.reshape(micro, grad_accum, *x.shape[1:]).transpose(perm)
+
+            px = _strided(pixel_u8)
+            lb = _strided(labels)
+            mk = _strided(mask)
             zero_grads = jax.tree_util.tree_map(
                 lambda p: jnp.zeros(p.shape, jnp.float32), state.params
             )
@@ -140,7 +153,11 @@ def make_train_step(
             denom = jnp.maximum(csum, 1.0)
             grads = jax.tree_util.tree_map(lambda g: g / denom, gsum)
             loss_val = lsum / denom
-            logits = logits.reshape(batch, *logits.shape[2:])
+            # Invert the strided split: scan position (g, m) holds global
+            # element m*ga + g, so (ga, micro, ...) -> (micro, ga, ...) ->
+            # flatten restores batch order for the metrics below.
+            perm = (1, 0) + tuple(range(2, logits.ndim))
+            logits = logits.transpose(perm).reshape(batch, *logits.shape[2:])
 
         new_state = state.apply_gradients(grads, new_batch_stats=new_stats)
 

