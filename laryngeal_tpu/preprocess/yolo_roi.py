@@ -223,7 +223,15 @@ class YOLODetector:
             writer.write(frame)
         writer.release()
 
+        # Raw-filter mode: best-effort web-compatible re-encode, mirroring
+        # the reference's optional libx264 pass (src/yolo_detector.py:625-648
+        # — ImportError/failure prints a message and keeps the cv2 output).
+        reencode_status = "not_applicable"
+        if not annotate:
+            reencode_status = self._web_reencode(save_path)
+
         return {
+            "web_reencode": reencode_status,
             "detected_frames": [{"frame_number": i, "confidence": c}
                                 for i, c, _ in detected],
             "frame_detections": frame_detections,
@@ -235,6 +243,55 @@ class YOLODetector:
             "video_url": f"/output/{output_filename}",
             "status": "processed_successfully",
         }
+
+    def _web_reencode(self, save_path: Path) -> str:
+        """Re-encode ``save_path`` to web-compatible H.264 (libx264, 2 Mbps,
+        aac) in place, best-effort: ffmpeg-python bindings first, then the
+        ffmpeg binary, else keep the cv2-encoded file — the reference's
+        semantics (src/yolo_detector.py:625-648: ImportError => "skipping
+        conversion", any failure => keep original). Returns a status string
+        recorded in the result dict so callers/tests can observe the path
+        taken."""
+        import os
+        import shutil
+        import subprocess
+
+        tmp = save_path.with_name("temp_" + save_path.name)
+        try:
+            import ffmpeg  # type: ignore
+
+            stream = ffmpeg.input(str(save_path))
+            stream = ffmpeg.output(stream, str(tmp), vcodec="libx264",
+                                   acodec="aac", **{"b:v": "2M"})
+            ffmpeg.run(stream, overwrite_output=True, capture_stderr=True)
+            os.replace(tmp, save_path)
+            logger.info("Web re-encode via ffmpeg-python: %s", save_path)
+            return "ffmpeg_python"
+        except ImportError:
+            pass
+        except Exception as e:  # keep the cv2 output, like the reference
+            tmp.unlink(missing_ok=True)
+            logger.warning("ffmpeg-python conversion failed (%s); keeping "
+                           "cv2-encoded output", e)
+            return "failed_kept_original"
+
+        binary = shutil.which("ffmpeg")
+        if binary:
+            try:
+                subprocess.run(
+                    [binary, "-y", "-i", str(save_path), "-c:v", "libx264",
+                     "-b:v", "2M", "-c:a", "aac", str(tmp)],
+                    check=True, capture_output=True)
+                os.replace(tmp, save_path)
+                logger.info("Web re-encode via ffmpeg binary: %s", save_path)
+                return "ffmpeg_binary"
+            except Exception as e:
+                tmp.unlink(missing_ok=True)
+                logger.warning("ffmpeg binary conversion failed (%s); keeping "
+                               "cv2-encoded output", e)
+                return "failed_kept_original"
+        logger.info("No ffmpeg available; keeping cv2-encoded output")
+        return "skipped_no_ffmpeg"
 
     # ------------------------------------------------------------------
     def crop_video_roi(self, video_path, output_video_name, output_dir="output",

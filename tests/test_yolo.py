@@ -174,6 +174,61 @@ def test_detected_only_raw_mode(detector, synth_video, tmp_path):
     assert res3["status"] == "processed_successfully"
 
 
+def test_raw_mode_web_reencode_skipped_without_ffmpeg(
+        detector, synth_video, tmp_path, monkeypatch):
+    """No ffmpeg bindings/binary => keep cv2 output, status says so
+    (reference src/yolo_detector.py:645-648 'skipping conversion')."""
+    import shutil
+    import sys
+
+    monkeypatch.delitem(sys.modules, "ffmpeg", raising=False)
+    monkeypatch.setattr(shutil, "which", lambda name: None)
+    res = detector.process_video_detected_only_raw(
+        str(synth_video), "noff", output_dir=str(tmp_path))
+    assert res["web_reencode"] == "skipped_no_ffmpeg"
+    assert (tmp_path / "noff_processed.mp4").stat().st_size > 0
+
+
+def test_raw_mode_web_reencode_ffmpeg_python(
+        detector, synth_video, tmp_path, monkeypatch):
+    """With ffmpeg-python importable, the output is re-encoded in place
+    (libx264, 2M, aac — reference src/yolo_detector.py:630-641)."""
+    import sys
+    import types
+    from pathlib import Path as _P
+
+    calls = {}
+    mod = types.ModuleType("ffmpeg")
+    mod.input = lambda p: ("in", p)
+
+    def _output(stream, out, **kw):
+        calls["out"], calls["kw"] = out, kw
+        return ("out", stream, out)
+
+    def _run(stream, overwrite_output=False, capture_stderr=False):
+        _P(calls["out"]).write_bytes(b"H264!")
+        calls["overwrite"] = overwrite_output
+
+    mod.output = _output
+    mod.run = _run
+    monkeypatch.setitem(sys.modules, "ffmpeg", mod)
+    res = detector.process_video_detected_only_raw(
+        str(synth_video), "reenc", output_dir=str(tmp_path))
+    assert res["web_reencode"] == "ffmpeg_python"
+    assert calls["kw"]["vcodec"] == "libx264"
+    assert calls["kw"]["b:v"] == "2M"
+    assert calls["overwrite"] is True
+    # os.replace moved the converted file over the cv2 one.
+    assert (tmp_path / "reenc_processed.mp4").read_bytes() == b"H264!"
+    assert not (tmp_path / "temp_reenc_processed.mp4").exists()
+
+
+def test_annotated_modes_skip_reencode(detector, synth_video, tmp_path):
+    res = detector.process_video_detected_only(
+        str(synth_video), "annmode", output_dir=str(tmp_path))
+    assert res["web_reencode"] == "not_applicable"
+
+
 def test_annotated_video_mode(detector, synth_video, tmp_path):
     res = detector.process_video(str(synth_video), "ann", save_path=str(tmp_path))
     assert res["total_frames"] == 16
