@@ -102,22 +102,24 @@ def build_model():
     return model, params
 
 
-def make_forward(model):
+def make_forward(model, wire: str = None):
     import jax
 
     from laryngeal_tpu.preprocess.transforms import (
         batch_preprocess, temporal_delta_decode, yuv420_to_rgb)
 
+    wire = wire or WIRE
+
     @jax.jit
     def forward(params, clips_yuv):
         # Wire format: I420 (1.5 B/px) — half the host->device bytes of
-        # RGB24 — shipped as mod-256 temporal deltas when WIRE=delta (the
+        # RGB24 — shipped as mod-256 temporal deltas when wire=delta (the
         # relay moves lower-entropy payloads faster; probed +7% effective
         # bandwidth on synthetic video, exact uint8 reconstruction here).
-        if WIRE == "delta":
+        if wire == "delta":
             clips_yuv = temporal_delta_decode(clips_yuv, axis=1)
         rgb = jax.vmap(lambda c: yuv420_to_rgb(c, CROP, CROP))(clips_yuv)
-        clips = batch_preprocess(rgb, "vivit", train=False)
+        clips = batch_preprocess(rgb, "vivit", train=False, crop=CROP)
         return jax.nn.softmax(model.apply({"params": params}, clips), axis=-1)
 
     return forward
@@ -217,8 +219,10 @@ def bench_train_step(model_name: str = "vivit") -> float:
     from laryngeal_tpu.train.steps import make_train_step
 
     spec = get_model_spec(model_name)
-    # Each family trains at its reference default clip length (timesformer
-    # is an 8-frame model — 32 frames would be off-spec and OOM at B8).
+    # Each family trains at its reference default clip length. TimeSformer's
+    # reference default is 32 frames (timesformer/main.py:39), which OOMs at
+    # B8 without remat — bench it the way cli.main actually runs it
+    # (auto-remat past the measured cliff).
     frames = spec.default_num_frames
     trainable_mask_fn = None
     if model_name == "vivit":
@@ -227,6 +231,8 @@ def bench_train_step(model_name: str = "vivit") -> float:
         kwargs = {"num_classes": 2}
         if model_name == "timesformer":
             kwargs.update(num_frames=frames, image_size=CROP)
+            if frames * BATCH >= 32 * 8:
+                kwargs["remat"] = True
         if model_name == "swin3d":
             kwargs.update(model_size="tiny")
         if model_name == "resnet50_lstm":
@@ -271,11 +277,19 @@ def bench_train_step(model_name: str = "vivit") -> float:
     return ITERS * BATCH / (time.perf_counter() - t0)
 
 
-def bench_tpu(paths, forward, params, pass_seed: int = 0) -> float:
+def bench_tpu(paths, forward, params, pass_seed: int = 0,
+              wire: str = None, stats: dict = None) -> float:
+    """One end-to-end pass; returns clips/sec. If ``stats`` is passed, it is
+    filled with the pass's own transfer accounting (uploader busy seconds,
+    MB moved, effective MB/s) — the self-consistent basis for the
+    bandwidth-normalized headline (a separate 2-sample probe can measure a
+    different minute of relay weather than the pass it normalizes)."""
     import jax
     import numpy as np
 
     from laryngeal_tpu.data.samplers import FrameSampler
+
+    wire = wire or WIRE
 
     # pass_seed 0 = the nominal uniform-sampling pass; later passes draw
     # seeded random indices so their transfer payloads are NOT byte-identical
@@ -308,7 +322,7 @@ def bench_tpu(paths, forward, params, pass_seed: int = 0) -> float:
             for p in paths:
                 clip = decode_frames_auto(p, sampler(str(p), 96),
                                           resize_to=(CROP, CROP), fmt="i420")
-                if WIRE == "delta":
+                if wire == "delta":
                     clip = temporal_delta_encode(clip)
                 batch.append(clip)
                 if len(batch) == BATCH:
@@ -321,12 +335,19 @@ def bench_tpu(paths, forward, params, pass_seed: int = 0) -> float:
         finally:
             q_dec.put(None)  # never strand downstream, even on decode errors
 
+    xfer_bytes = [0]
+
     def uploader():
         try:
             while True:
                 item = q_dec.get()
                 if item is None:
                     break
+                # NOTE: device_put through the relay is ASYNC (measured: the
+                # calls account for ~0.2 s of a pass that moves 115 MB) — do
+                # not time it; the transfer cost is inferred from the pass
+                # itself via the bottleneck-stage model in main().
+                xfer_bytes[0] += item.nbytes
                 q_dev.put(jax.device_put(item))
         finally:
             q_dev.put(None)
@@ -344,6 +365,9 @@ def bench_tpu(paths, forward, params, pass_seed: int = 0) -> float:
     # barrier, but a host transfer serializes behind all queued compute.
     np.asarray(out)
     dt = time.perf_counter() - t0
+    if stats is not None:
+        stats["xfer_mb"] = xfer_bytes[0] / 1e6
+        stats["wall_s"] = dt
     return len(paths) / dt  # count real videos, not pad duplicates
 
 
@@ -412,12 +436,23 @@ def main():
     tflop_per_clip = vivit_b_fwd_tflops_per_clip()
     mfu = compute_rate * tflop_per_clip / PEAK_TFLOPS * 100.0
 
-    # End-to-end (the headline). The relay link's throughput fluctuates run
-    # to run; take the better of two fresh-payload passes when time allows.
-    t0 = time.perf_counter()
-    value = bench_tpu(paths, forward, params)
-    if time.perf_counter() - t0 < 180:
-        value = max(value, bench_tpu(paths, forward, params, pass_seed=1))
+    # End-to-end (the headline). The relay link's session bandwidth varies
+    # 13-43 MB/s (BASELINE.md) and round 2's number swung -23% on identical
+    # code — ALWAYS take >= 3 fresh-payload passes (distinct sampler seeds
+    # so payloads are dedup-proof), report best + median + the raw list.
+    # Round-1's 180 s gate skipped the retry exactly on the slow sessions
+    # that needed it (round-2 VERDICT weak #1).
+    n_passes = int(os.environ.get("BENCH_E2E_PASSES", "3"))
+    e2e_passes = []
+    pass_stats = []
+    for s in range(n_passes):
+        st: dict = {}
+        e2e_passes.append(bench_tpu(paths, forward, params, pass_seed=s,
+                                    stats=st))
+        pass_stats.append(st)
+    best_i = max(range(n_passes), key=lambda i: e2e_passes[i])
+    value = e2e_passes[best_i]
+    e2e_median = sorted(e2e_passes)[len(e2e_passes) // 2]
 
     # Stage-share attribution at the e2e operating point: per-clip seconds
     # spent in each (overlapped) stage vs the serial bottleneck.
@@ -428,6 +463,8 @@ def main():
     t_total = t_decode + t_xfer + t_compute
 
     breakdown = {
+        "e2e_passes": [round(v, 2) for v in e2e_passes],
+        "e2e_median": round(e2e_median, 2),
         "decode_clips_per_sec": round(decode_rate, 2),
         **xfer,
         "compute_only_clips_per_sec": round(compute_rate, 2),
@@ -438,6 +475,46 @@ def main():
         "transfer_share_pct": round(100 * t_xfer / t_total, 1),
         "compute_share_pct": round(100 * t_compute / t_total, 1),
     }
+    # Bandwidth-normalized headline: what this code would do at the nominal
+    # 35 MB/s session bandwidth — separates code changes from relay-session
+    # luck when comparing rounds. Model: the 3-stage pipeline runs at its
+    # bottleneck stage's rate (validated against measurement: at the pass's
+    # implied bandwidth the model predicts 17.8 vs 18.0 and 10.4 vs 10.6
+    # measured across a fast and a slow session). Point-estimating the
+    # in-pass transfer time directly is NOT possible — device_put through
+    # the relay is async (uploader busy ~0.2 s for a 115 MB pass) and a
+    # separate h2d probe samples a different minute of relay weather (probe
+    # 17.6 MB/s vs 25.5 implied in the same run, which would have claimed
+    # 37.7 normalized vs ~14 honest).
+    nominal_mbps = float(os.environ.get("BENCH_NOMINAL_MBPS", "35"))
+    bstat = pass_stats[best_i]
+    mb_clip = (bstat.get("xfer_mb", clip_mb * len(paths)) / len(paths))
+    t_norm = max(t_decode, mb_clip / nominal_mbps, t_compute)
+    breakdown["e2e_implied_mbps"] = round(value * mb_clip, 1)
+    breakdown["e2e_at_nominal_35mbps"] = round(1.0 / t_norm, 2)
+
+    if os.environ.get("BENCH_WIRE_AB") == "1":
+        # Interleaved wire-format A/B (round-2 VERDICT weak #3): n pass
+        # PAIRS, alternating delta/raw within the same session so session
+        # drift hits both arms equally. Fresh sampler seed per pass.
+        n_ab = int(os.environ.get("BENCH_WIRE_AB_PASSES", "5"))
+        fwd_by_wire = {"delta": forward if WIRE == "delta"
+                       else make_forward(model, "delta"),
+                       "raw": forward if WIRE == "raw"
+                       else make_forward(model, "raw")}
+        for w, f in fwd_by_wire.items():
+            if f is not forward:
+                warmup_relay(f, params)  # compile only; session already warm
+        ab = {"delta": [], "raw": []}
+        for i in range(n_ab):
+            for w in ("delta", "raw") if i % 2 == 0 else ("raw", "delta"):
+                ab[w].append(round(bench_tpu(
+                    paths, fwd_by_wire[w], params, pass_seed=100 + i,
+                    wire=w), 2))
+        breakdown["wire_ab"] = {
+            w: {"passes": v, "median": sorted(v)[len(v) // 2],
+                "mean": round(sum(v) / len(v), 2)}
+            for w, v in ab.items()}
     if os.environ.get("BENCH_TRAIN") == "1":
         families = [f.strip() for f in
                     os.environ.get("BENCH_TRAIN_MODELS", "vivit").split(",")
