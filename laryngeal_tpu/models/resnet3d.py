@@ -74,6 +74,60 @@ class ResNet3DConfig:
     stage_spatial_stride: Sequence[int] = (1, 2, 2, 2)
     head_pool_kernel: Tuple[int, int, int] = (4, 7, 7)
     dtype: Any = jnp.float32
+    # Space-to-depth stem (MLPerf-style): the RGB stem conv fills 3 of the
+    # MXU's 128 contraction lanes and was measured at 2.9% of peak — 58% of
+    # the whole forward (BASELINE.md round-3 ablation). Decomposing the
+    # input into 2x2 spatial phases (C 3->12) turns the 7x7/s2 conv into an
+    # exactly-equivalent 4x4/s1 conv via pure kernel rearrangement; the
+    # stored `stem_conv/kernel` param keeps the reference (3,7,7,3,64)
+    # layout so checkpoints and torch converters are untouched.
+    stem_s2d: bool = True
+
+
+class _StemConv(nn.Module):
+    """The stem Conv3D 64x(3,7,7)/s(1,2,2)/p(1,3,3), param-compatible with
+    ``nn.Conv`` (kernel shape (3,7,7,3,64) at the same path), computed either
+    directly or via the exact space-to-depth rewrite.
+
+    Space-to-depth derivation (per spatial axis; temporal axis untouched):
+    the original output is ``y[p] = sum_k x[2p-3+k] w[k]`` (stride 2, pad 3).
+    Splitting x by parity ``x[2m+e]`` gives ``k = 2(m-p)+3+e``; with conv
+    offset ``d = j-2`` (kernel 4, pad (2,1), stride 1) the phase-e kernel is
+    ``K[j,e] = w[2j-1+e]`` with w[-1] := 0 — i.e. pad w from 7 to 8 taps on
+    the left and reshape (8,)->(4,2). Identical MACs, reassociated; the MXU
+    contraction grows from C=3 to C=12 lanes (+ the 4x4 taps XLA folds in).
+    """
+
+    dtype: Any = jnp.float32
+    s2d: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 7, 7, 3, 64))
+        kernel = kernel.astype(self.dtype)
+        x = x.astype(self.dtype)
+        if not self.s2d:
+            dn = jax.lax.conv_dimension_numbers(
+                x.shape, kernel.shape, ("NDHWC", "DHWIO", "NDHWC"))
+            return jax.lax.conv_general_dilated(
+                x, kernel, window_strides=(1, 2, 2),
+                padding=[(1, 1), (3, 3), (3, 3)], dimension_numbers=dn)
+        b, t, h, w, c = x.shape
+        # Input phases: (..., H, W, C) -> (..., H/2, W/2, (eh, ew, c)).
+        xs = x.reshape(b, t, h // 2, 2, w // 2, 2, c)
+        xs = xs.transpose(0, 1, 2, 4, 3, 5, 6).reshape(
+            b, t, h // 2, w // 2, 4 * c)
+        # Kernel: pad 7->8 on the left of each spatial axis, split taps into
+        # (position j, phase e), and align channel order to (eh, ew, c).
+        kr = jnp.pad(kernel, ((0, 0), (1, 0), (1, 0), (0, 0), (0, 0)))
+        kr = kr.reshape(3, 4, 2, 4, 2, c, 64)          # (kt, jh, eh, jw, ew, c, o)
+        kr = kr.transpose(0, 1, 3, 2, 4, 5, 6).reshape(3, 4, 4, 4 * c, 64)
+        dn = jax.lax.conv_dimension_numbers(
+            xs.shape, kr.shape, ("NDHWC", "DHWIO", "NDHWC"))
+        return jax.lax.conv_general_dilated(
+            xs, kr, window_strides=(1, 1, 1),
+            padding=[(1, 1), (2, 1), (2, 1)], dimension_numbers=dn)
 
 
 class ResNet3D(nn.Module):
@@ -84,9 +138,9 @@ class ResNet3D(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         cfg = self.config
-        x = nn.Conv(64, (3, 7, 7), strides=(1, 2, 2),
-                    padding=[(1, 1), (3, 3), (3, 3)], use_bias=False,
-                    dtype=cfg.dtype, name="stem_conv")(x)
+        use_s2d = (cfg.stem_s2d and x.shape[2] % 2 == 0
+                   and x.shape[3] % 2 == 0)
+        x = _StemConv(dtype=cfg.dtype, s2d=use_s2d, name="stem_conv")(x)
         x = nn.relu(_bn(train, cfg.dtype, "stem_bn")(x))
         x = nn.max_pool(x, (1, 3, 3), strides=(1, 2, 2),
                         padding=[(0, 0), (1, 1), (1, 1)])

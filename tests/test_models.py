@@ -43,6 +43,32 @@ def test_resnet3d_train_updates_stats():
     assert not np.allclose(np.asarray(before), np.asarray(after))
 
 
+def test_resnet3d_s2d_stem_exact_equivalence():
+    """The space-to-depth stem is a pure reassociation of the same MACs —
+    same params, same output as the direct conv to fp tolerance."""
+    from laryngeal_tpu.models.resnet3d import _StemConv
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 5, 32, 48, 3),
+                          jnp.float32)
+    direct = _StemConv(s2d=False)
+    params = direct.init(jax.random.PRNGKey(1), x)
+    y_direct = direct.apply(params, x)
+    y_s2d = _StemConv(s2d=True).apply(params, x)
+    assert y_direct.shape == y_s2d.shape == (2, 5, 16, 24, 64)
+    np.testing.assert_allclose(np.asarray(y_s2d), np.asarray(y_direct),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_resnet3d_s2d_odd_size_falls_back():
+    """Odd spatial sizes can't phase-decompose; the model silently uses the
+    direct conv (same params) instead of crashing."""
+    cfg = ResNet3DConfig(num_classes=2, stage_sizes=(1, 1, 1, 1))
+    model = ResNet3D(cfg)
+    x = jnp.zeros((1, 4, 63, 63, 3))
+    vars_ = model.init(jax.random.PRNGKey(0), x)
+    assert model.apply(vars_, x).shape == (1, 2)
+
+
 # ---------- swin3d unit pieces ----------
 
 def test_window_partition_roundtrip():

@@ -36,7 +36,12 @@ def test_adam_ce_training_matches_torch():
     tm.blocks[5].pool = torch.nn.AvgPool3d((4, 2, 2), stride=1)
 
     variables = port_resnet3d({k: v.detach() for k, v in tm.state_dict().items()})
-    model = create_resnet3d(num_classes=2, dropout=0.0)
+    # Direct (non-s2d) stem: this test pins step-level dynamics vs torch at
+    # 1e-4, which fp reassociation in the space-to-depth stem legitimately
+    # perturbs; s2d == direct is pinned separately at rtol 1e-5
+    # (test_models.py::test_resnet3d_s2d_stem_exact_equivalence), closing
+    # the equivalence chain torch == direct == s2d.
+    model = create_resnet3d(num_classes=2, dropout=0.0, stem_s2d=False)
 
     crit = torch.nn.CrossEntropyLoss()
     opt_t = torch.optim.Adam(tm.parameters(), lr=1e-3)
