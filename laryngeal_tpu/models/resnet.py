@@ -55,16 +55,55 @@ class Bottleneck(nn.Module):
         return nn.relu(out + identity)
 
 
+class _StemConv2D(nn.Module):
+    """torchvision conv1 (64x7x7/s2/p3), param-compatible with ``nn.Conv``
+    (kernel (7,7,3,64) at the same path), computed via the exact
+    space-to-depth rewrite when the input is even-sized: 2x2 phase
+    decomposition (C 3->12) turns it into a 4x4/s1 conv by pure kernel
+    rearrangement — same derivation as the 3D stem
+    (models/resnet3d.py::_StemConv): per axis ``K[j,e] = w[2j-1+e]`` with
+    w[-1] := 0, i.e. pad 7->8 taps on the left and reshape (8,)->(4,2).
+    The RGB stem fills 3/128 MXU contraction lanes and measured 2.9% of
+    peak in the 3D family; identical economics apply here."""
+
+    dtype: Any = jnp.float32
+    s2d: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (7, 7, 3, 64))
+        kernel = kernel.astype(self.dtype)
+        x = x.astype(self.dtype)
+        n, h, w, c = x.shape
+        if not self.s2d or h % 2 or w % 2:
+            dn = jax.lax.conv_dimension_numbers(
+                x.shape, kernel.shape, ("NHWC", "HWIO", "NHWC"))
+            return jax.lax.conv_general_dilated(
+                x, kernel, window_strides=(2, 2),
+                padding=[(3, 3), (3, 3)], dimension_numbers=dn)
+        xs = x.reshape(n, h // 2, 2, w // 2, 2, c)
+        xs = xs.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // 2, w // 2, 4 * c)
+        kr = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))
+        kr = kr.reshape(4, 2, 4, 2, c, 64)             # (jh, eh, jw, ew, c, o)
+        kr = kr.transpose(0, 2, 1, 3, 4, 5).reshape(4, 4, 4 * c, 64)
+        dn = jax.lax.conv_dimension_numbers(
+            xs.shape, kr.shape, ("NHWC", "HWIO", "NHWC"))
+        return jax.lax.conv_general_dilated(
+            xs, kr, window_strides=(1, 1),
+            padding=[(2, 1), (2, 1)], dimension_numbers=dn)
+
+
 class ResNet50(nn.Module):
     """torchvision-layout ResNet50 trunk; returns pooled 2048-d features."""
 
     stage_sizes: Sequence[int] = (3, 4, 6, 3)
     dtype: Any = jnp.float32
+    stem_s2d: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
-                    use_bias=False, dtype=self.dtype, name="conv1")(x)
+        x = _StemConv2D(dtype=self.dtype, s2d=self.stem_s2d, name="conv1")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name="bn1")(x)
         x = nn.relu(x)
@@ -143,6 +182,9 @@ class ResNetLSTMConfig:
     # Trunk stage sizes — (3,4,6,3) is the reference ResNet50; smaller values
     # exist for cheap multichip dryruns/tests only.
     stage_sizes: Any = (3, 4, 6, 3)
+    # Space-to-depth stem (see _StemConv2D); False pins bit-level parity
+    # with the direct conv for the torch-dynamics tests.
+    stem_s2d: bool = True
 
 
 class VideoResNet50LSTM(nn.Module):
@@ -158,6 +200,7 @@ class VideoResNet50LSTM(nn.Module):
         # Backbone BN stats update in train mode even though its params are
         # frozen by the optimizer mask (reference behavior, see module doc).
         feats = ResNet50(dtype=cfg.dtype, stage_sizes=tuple(cfg.stage_sizes),
+                         stem_s2d=cfg.stem_s2d,
                          name="resnet50")(frames, train=train)
         feats = feats.reshape(b, t, -1)
         seq = LSTM(cfg.hidden_size, cfg.num_layers, cfg.dropout,
@@ -172,9 +215,11 @@ class VideoResNet50LSTM(nn.Module):
 
 def create_resnet50_lstm(hidden_size: int = 256, num_layers: int = 2,
                          dropout: float = 0.5, dtype=jnp.float32,
-                         stage_sizes=(3, 4, 6, 3), **_) -> VideoResNet50LSTM:
+                         stage_sizes=(3, 4, 6, 3), stem_s2d: bool = True,
+                         **_) -> VideoResNet50LSTM:
     return VideoResNet50LSTM(ResNetLSTMConfig(hidden_size, num_layers, dropout,
-                                              dtype, tuple(stage_sizes)))
+                                              dtype, tuple(stage_sizes),
+                                              stem_s2d))
 
 
 def backbone_param_mask(params) -> Any:

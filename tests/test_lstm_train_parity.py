@@ -32,7 +32,11 @@ def test_masked_adam_bce_training_matches_torch():
         p.requires_grad = False
 
     variables = port_resnet50_lstm(tm.state_dict())
-    model = VideoResNet50LSTM(ResNetLSTMConfig(dropout=0.0))
+    # Direct stem: step-level dynamics vs torch are pinned at tight
+    # tolerance, which the space-to-depth reassociation legitimately
+    # perturbs; s2d == direct is pinned separately at rtol 1e-5
+    # (test_models.py::test_resnet2d_s2d_stem_exact_equivalence).
+    model = VideoResNet50LSTM(ResNetLSTMConfig(dropout=0.0, stem_s2d=False))
     pw = reference_pos_weight(3, 5)
 
     crit = torch.nn.BCEWithLogitsLoss(pos_weight=torch.tensor([pw]))

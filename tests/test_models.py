@@ -59,6 +59,19 @@ def test_resnet3d_s2d_stem_exact_equivalence():
                                rtol=1e-5, atol=1e-5)
 
 
+def test_resnet2d_s2d_stem_exact_equivalence():
+    from laryngeal_tpu.models.resnet import _StemConv2D
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (3, 32, 48, 3), jnp.float32)
+    direct = _StemConv2D(s2d=False)
+    params = direct.init(jax.random.PRNGKey(1), x)
+    y_direct = direct.apply(params, x)
+    y_s2d = _StemConv2D(s2d=True).apply(params, x)
+    assert y_direct.shape == y_s2d.shape == (3, 16, 24, 64)
+    np.testing.assert_allclose(np.asarray(y_s2d), np.asarray(y_direct),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_resnet3d_s2d_odd_size_falls_back():
     """Odd spatial sizes can't phase-decompose; the model silently uses the
     direct conv (same params) instead of crashing."""
