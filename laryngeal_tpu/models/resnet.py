@@ -64,10 +64,14 @@ class _StemConv2D(nn.Module):
     (models/resnet3d.py::_StemConv): per axis ``K[j,e] = w[2j-1+e]`` with
     w[-1] := 0, i.e. pad 7->8 taps on the left and reshape (8,)->(4,2).
     The RGB stem fills 3/128 MXU contraction lanes and measured 2.9% of
-    peak in the 3D family; identical economics apply here."""
+    peak in the 3D family — but measured on hardware the 2D rewrite is a
+    small LOSS (fwd 23.53 vs 22.19 ms/batch8x32f; train 207.7 vs 213.1
+    clips/s): XLA's 2D conv lowering already handles the RGB stem well, so
+    the default is OFF for this family (contrast the 3D stem's 1.53x win,
+    BASELINE.md round-3 ablation)."""
 
     dtype: Any = jnp.float32
-    s2d: bool = True
+    s2d: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -99,7 +103,7 @@ class ResNet50(nn.Module):
 
     stage_sizes: Sequence[int] = (3, 4, 6, 3)
     dtype: Any = jnp.float32
-    stem_s2d: bool = True
+    stem_s2d: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -182,9 +186,11 @@ class ResNetLSTMConfig:
     # Trunk stage sizes — (3,4,6,3) is the reference ResNet50; smaller values
     # exist for cheap multichip dryruns/tests only.
     stage_sizes: Any = (3, 4, 6, 3)
-    # Space-to-depth stem (see _StemConv2D); False pins bit-level parity
-    # with the direct conv for the torch-dynamics tests.
-    stem_s2d: bool = True
+    # Space-to-depth stem (see _StemConv2D): measured slightly SLOWER for
+    # this family on v5e (the trunk is fwd-only and XLA's 2D lowering is
+    # already good) — default OFF; the exact-equivalent path stays
+    # available and tested.
+    stem_s2d: bool = False
 
 
 class VideoResNet50LSTM(nn.Module):
@@ -215,7 +221,7 @@ class VideoResNet50LSTM(nn.Module):
 
 def create_resnet50_lstm(hidden_size: int = 256, num_layers: int = 2,
                          dropout: float = 0.5, dtype=jnp.float32,
-                         stage_sizes=(3, 4, 6, 3), stem_s2d: bool = True,
+                         stage_sizes=(3, 4, 6, 3), stem_s2d: bool = False,
                          **_) -> VideoResNet50LSTM:
     return VideoResNet50LSTM(ResNetLSTMConfig(hidden_size, num_layers, dropout,
                                               dtype, tuple(stage_sizes),
