@@ -58,6 +58,19 @@ def dot_product_attention(
     """
     impl = impl or get_attention_impl()
     n = max(q.shape[1], k.shape[1])
+    # Mid-length sequences (TimeSformer spatial N=197) go to the batched
+    # short-sequence kernel: full softmax in VMEM, a chunk of batch-heads
+    # per program (ops/short_attention.py). Measured on v5e at the real
+    # TimeSformer shapes (bf16, dependence-chained harness): spatial
+    # (256,197,12,64) fwd 4.76 ms vs XLA 6.55 (1.38x), fwd+bwd 6.24 vs
+    # 8.93 (1.43x). Tiny sequences stay on XLA — key padding to the
+    # 128-lane makes the kernel lose at temporal (1576,32): fwd 7.31 vs
+    # XLA 5.24. Threshold n >= 128 keeps padding waste <= 2x.
+    if (impl == "pallas" and bias is None and q.shape[1] == k.shape[1]
+            and q.shape[-1] <= 128 and 128 <= n < 512):
+        from .short_attention import short_attention
+
+        return short_attention(q, k, v)
     # Short sequences go to XLA regardless of impl: the pallas kernel pads
     # to 128-lane blocks and pays per-program grid overhead, which loses
     # at TimeSformer scale (attention-only A/B on v5e, dependence-chained
