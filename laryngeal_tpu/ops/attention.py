@@ -58,25 +58,25 @@ def dot_product_attention(
     """
     impl = impl or get_attention_impl()
     n = max(q.shape[1], k.shape[1])
-    # Mid-length sequences (TimeSformer spatial N=197) go to the batched
+    # Short/mid sequences (TimeSformer divided attention) go to the batched
     # short-sequence kernel: full softmax in VMEM, a chunk of batch-heads
-    # per program (ops/short_attention.py). Measured on v5e at the real
-    # TimeSformer shapes (bf16, dependence-chained harness): spatial
-    # (256,197,12,64) fwd 4.76 ms vs XLA 6.55 (1.38x), fwd+bwd 6.24 vs
-    # 8.93 (1.43x). Tiny sequences stay on XLA — key padding to the
-    # 128-lane makes the kernel lose at temporal (1576,32): fwd 7.31 vs
-    # XLA 5.24. Threshold n >= 128 keeps padding waste <= 2x.
+    # per program, and for N<128 a P=128//pow2(N) sequence-packed score
+    # layout (ops/short_attention.py). Measured on v5e at the real
+    # TimeSformer-B shapes (bf16, 30-iter dependence-chained harness,
+    # scripts/bench_short_attn_op.py): temporal (1576,32,12,64) fwd
+    # 4.42 ms vs XLA 6.00 (1.36x), fwd+bwd 5.39 vs 7.26 (1.35x); spatial
+    # (256,197,12,64) fwd 4.53 vs 6.39 (1.41x), fwd+bwd 6.23 vs 10.81
+    # (1.74x). (The pre-packing kernel LOST at temporal — key padding to
+    # the 128-lane — which is why the packed layout exists.)
     if (impl == "pallas" and bias is None and q.shape[1] == k.shape[1]
-            and q.shape[-1] <= 128 and 128 <= n < 512):
+            and q.shape[-1] <= 128 and n < 512):
         from .short_attention import short_attention
 
         return short_attention(q, k, v)
-    # Short sequences go to XLA regardless of impl: the pallas kernel pads
-    # to 128-lane blocks and pays per-program grid overhead, which loses
-    # at TimeSformer scale (attention-only A/B on v5e, dependence-chained
-    # harness: spatial (256,197) XLA 3.98 ms vs pallas 6.35; temporal
-    # (1576,32) XLA 3.76 vs pallas 16.85). The flash kernel's O(N*D)-memory
-    # advantage only matters for long sequences anyway.
+    # The streaming flash kernel only pays off for long sequences (its
+    # O(N*D) memory advantage); mid sequences lose to per-program grid
+    # overhead (round-2 A/B: spatial (256,197) flash 6.35 ms, temporal
+    # (1576,32) flash 16.85 — both beaten by the short kernel above).
     if impl == "pallas" and q.shape[-1] <= 128 and n >= 512:
         from .flash_attention import flash_attention
 

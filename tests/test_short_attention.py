@@ -65,10 +65,43 @@ def test_short_gradients_match_reference(n):
                                    atol=5e-5, rtol=1e-3, err_msg=f"d{name}")
 
 
+@pytest.mark.parametrize("n,exp_p", [(8, 16), (24, 4), (32, 4), (64, 2),
+                                     (100, 1), (197, 1)])
+def test_packed_layout_geometry(n, exp_p):
+    """N<128 packs P=128//pow2(N) sequences per 128-lane score block."""
+    from laryngeal_tpu.ops.short_attention import _layout
+
+    p, s_q, s_k, r, k_w, c, g_rows = _layout(n, 64, 2, g_tot=12)
+    assert p == exp_p
+    if n < 128:
+        assert r == k_w == 128 and s_q == s_k and p * s_q == 128
+    assert g_rows % c == 0
+
+
+@pytest.mark.parametrize("n", [8, 24])
+def test_packed_gradients_match_reference(n):
+    """Heavy packing (P=16/P=4 with non-pow2 N): cross-sequence grads must
+    cancel exactly through the block-diagonal mask."""
+    q, k, v = make_qkv(b=3, n=n, h=5, d=32, seed=3)
+    w = jax.random.normal(jax.random.PRNGKey(9), q.shape)
+
+    def loss_kernel(q, k, v):
+        return (short_attention(q, k, v) * w).sum()
+
+    def loss_ref(q, k, v):
+        return (jax.nn.dot_product_attention(q, k, v) * w).sum()
+
+    g_kernel = jax.grad(loss_kernel, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for gk, gr, name in zip(g_kernel, g_ref, "qkv"):
+        np.testing.assert_allclose(np.asarray(gk), np.asarray(gr),
+                                   atol=5e-5, rtol=1e-3, err_msg=f"d{name}")
+
+
 @pytest.mark.parametrize("n", [197, 32])
 def test_router_dispatch(n, monkeypatch):
-    """impl='pallas' routes 128<=N<512 self-attn to the short kernel,
-    tiny N to XLA — and both agree with the reference numerics."""
+    """impl='pallas' routes N<512 self-attn (both TimeSformer shapes) to
+    the short kernel — and it agrees with the reference numerics."""
     from laryngeal_tpu.ops import attention as A
     from laryngeal_tpu.ops import short_attention as SA
 
@@ -87,7 +120,7 @@ def test_router_dispatch(n, monkeypatch):
     ref = jax.nn.dot_product_attention(q, k, v)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5, rtol=1e-4)
-    assert bool(calls) == (n >= 128)
+    assert calls, "short kernel not dispatched"
 
 
 def test_short_jittable_and_inside_larger_graph():
