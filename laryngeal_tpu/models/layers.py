@@ -34,7 +34,13 @@ class SelfAttention(nn.Module):
         q = dense("query")(x).reshape(b, n, self.num_heads, head_dim)
         k = dense("key")(x).reshape(b, n, self.num_heads, head_dim)
         v = dense("value")(x).reshape(b, n, self.num_heads, head_dim)
-        out = dot_product_attention(q, k, v, bias=bias)
+        # Named so remat policies can save the attention output: the pallas
+        # kernels' custom_vjp recomputes softmax internally from q/k/v, so
+        # re-running the attention forward during a remat pass is waste.
+        from jax.ad_checkpoint import checkpoint_name
+
+        out = checkpoint_name(
+            dot_product_attention(q, k, v, bias=bias), "attn_out")
         out = out.reshape(b, n, self.hidden_size)
         return nn.Dense(self.hidden_size, dtype=self.dtype, name="out")(out)
 

@@ -153,7 +153,10 @@ class WindowAttention3D(nn.Module):
         )
         idx = relative_position_index(self.window, full).reshape(-1)
         bias = table[idx].reshape(n, n, self.num_heads).transpose(2, 0, 1)
-        out = window_attention(q, k, v, bias, region_id=region_id)
+        from jax.ad_checkpoint import checkpoint_name
+
+        out = checkpoint_name(
+            window_attention(q, k, v, bias, region_id=region_id), "attn_out")
         out = out.reshape(bnw, n, self.dim)
         return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
 
@@ -280,8 +283,11 @@ class SwinTransformer3D(nn.Module):
         # `train` must stay a static argument under remat: DropPath branches
         # on it in Python. flax argnums count self at 0, so train is 2 —
         # and it must be passed POSITIONALLY (kwargs stay traced).
-        block_cls = (nn.remat(SwinBlock3D, static_argnums=(2,))
-                     if cfg.remat else SwinBlock3D)
+        block_cls = (
+            nn.remat(SwinBlock3D, static_argnums=(2,),
+                     policy=jax.checkpoint_policies.save_only_these_names(
+                         "attn_out"))
+            if cfg.remat else SwinBlock3D)
         for stage, depth in enumerate(cfg.depths):
             for i in range(depth):
                 sd = cfg.stochastic_depth * block_id / max(total_blocks - 1, 1)

@@ -33,6 +33,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from jax.ad_checkpoint import checkpoint_name
+
 from ..ops.attention import dot_product_attention
 from .layers import gelu_exact
 
@@ -70,7 +72,11 @@ class FusedQKVAttention(nn.Module):
         qkv = nn.Dense(3 * self.hidden_size, dtype=self.dtype, name="qkv")(x)
         qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-        out = dot_product_attention(q, k, v)
+        # Named so the remat policy can SAVE attention outputs: the
+        # kernels' custom_vjp recomputes softmax internally from q/k/v, so
+        # re-running the attention forward during the remat pass is pure
+        # waste — only the cheap dense glue needs recomputing.
+        out = checkpoint_name(dot_product_attention(q, k, v), "attn_out")
         out = out.reshape(b, n, self.hidden_size)
         return nn.Dense(self.hidden_size, dtype=self.dtype, name="out")(out)
 
@@ -170,7 +176,15 @@ class TimesformerForVideoClassification(nn.Module):
     def __call__(self, pixel_values: jax.Array, train: bool = False) -> jax.Array:
         cfg = self.config
         x = TimesformerEmbeddings(cfg, name="embeddings")(pixel_values)
-        layer_cls = nn.remat(TimesformerLayer) if cfg.remat else TimesformerLayer
+        # Selective remat: keep the two attention outputs per layer
+        # (2 x 77 MB bf16 at 32f B8 — well under the HBM freed by remat)
+        # so the remat pass skips the N^2 attention forwards; measured on
+        # v5e vs plain per-layer remat in BASELINE.md.
+        layer_cls = (
+            nn.remat(TimesformerLayer,
+                     policy=jax.checkpoint_policies.save_only_these_names(
+                         "attn_out"))
+            if cfg.remat else TimesformerLayer)
         for i in range(cfg.num_layers):
             x = layer_cls(cfg, name=f"layer_{i}")(x)
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="layernorm")(x)

@@ -89,7 +89,14 @@ class VivitForVideoClassification(nn.Module):
     def __call__(self, pixel_values: jax.Array, train: bool = False) -> jax.Array:
         cfg = self.config
         x = VivitEmbeddings(cfg, name="embeddings")(pixel_values)
-        block_cls = nn.remat(TransformerBlock) if cfg.remat else TransformerBlock
+        # Selective remat: save attention outputs so the remat pass skips
+        # the N^2 flash forward (its custom_vjp re-derives softmax from
+        # q/k/v residuals anyway); only dense glue is recomputed.
+        block_cls = (
+            nn.remat(TransformerBlock,
+                     policy=jax.checkpoint_policies.save_only_these_names(
+                         "attn_out"))
+            if cfg.remat else TransformerBlock)
         for i in range(cfg.num_layers):
             x = block_cls(
                 cfg.hidden_size,
