@@ -82,6 +82,14 @@ class ResNet3DConfig:
     # stored `stem_conv/kernel` param keeps the reference (3,7,7,3,64)
     # layout so checkpoints and torch converters are untouched.
     stem_s2d: bool = True
+    # Pack adjacent W outputs into 128 channels (see _StemConv docstring).
+    # Exact, and the isolated conv measures 1.15x faster (9.61 -> 8.39 ms)
+    # — but WHOLE-MODEL it loses badly (fwd 35.9 -> 57.0 ms, train 138 ->
+    # 156 ms on v5e): the (W/2,128)->(W,64) un-interleave forces a lane
+    # relayout of the 411 MB stem output that the isolated A/B's context
+    # hid. Default OFF; path kept + equivalence-tested as the recorded
+    # negative result (don't retry).
+    stem_pair: bool = False
 
 
 class _StemConv(nn.Module):
@@ -96,10 +104,21 @@ class _StemConv(nn.Module):
     ``K[j,e] = w[2j-1+e]`` with w[-1] := 0 — i.e. pad w from 7 to 8 taps on
     the left and reshape (8,)->(4,2). Identical MACs, reassociated; the MXU
     contraction grows from C=3 to C=12 lanes (+ the 4x4 taps XLA folds in).
+
+    Output-pair packing (``pair``): the 64 output channels use half the
+    MXU's 128 output lanes, so adjacent W outputs ``y[..,2r]``/``y[..,2r+1]``
+    are additionally stacked into 128 channels — the 4-tap W window
+    becomes a 5-tap stride-2 window with ``K5[j5, e-block] = w[j5-e]`` for
+    ``0 <= j5-e < 4`` (zeros elsewhere): 1.25x MACs at 2x lane utilization.
+    Exact (pure reindexing + zero taps); the isolated conv measures 1.15x
+    faster (9.61 -> 8.39 ms on v5e) but the whole model REGRESSES (see
+    ResNet3DConfig.stem_pair) — the un-interleave reshape costs a lane
+    relayout downstream. Kept as a measured negative result.
     """
 
     dtype: Any = jnp.float32
     s2d: bool = True
+    pair: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -123,11 +142,24 @@ class _StemConv(nn.Module):
         kr = jnp.pad(kernel, ((0, 0), (1, 0), (1, 0), (0, 0), (0, 0)))
         kr = kr.reshape(3, 4, 2, 4, 2, c, 64)          # (kt, jh, eh, jw, ew, c, o)
         kr = kr.transpose(0, 1, 3, 2, 4, 5, 6).reshape(3, 4, 4, 4 * c, 64)
-        dn = jax.lax.conv_dimension_numbers(
-            xs.shape, kr.shape, ("NDHWC", "DHWIO", "NDHWC"))
-        return jax.lax.conv_general_dilated(
-            xs, kr, window_strides=(1, 1, 1),
-            padding=[(1, 1), (2, 1), (2, 1)], dimension_numbers=dn)
+        dn_args = (("NDHWC", "DHWIO", "NDHWC"),)
+        if not (self.pair and (w // 2) % 2 == 0):
+            dn = jax.lax.conv_dimension_numbers(xs.shape, kr.shape, *dn_args)
+            return jax.lax.conv_general_dilated(
+                xs, kr, window_strides=(1, 1, 1),
+                padding=[(1, 1), (2, 1), (2, 1)], dimension_numbers=dn)
+        kp = jnp.zeros((3, 4, 5, 4 * c, 2, 64), kr.dtype)
+        for e in range(2):
+            for j5 in range(5):
+                if 0 <= j5 - e < 4:
+                    kp = kp.at[:, :, j5, :, e, :].set(kr[:, :, j5 - e])
+        kp = kp.reshape(3, 4, 5, 4 * c, 128)
+        dn = jax.lax.conv_dimension_numbers(xs.shape, kp.shape, *dn_args)
+        y = jax.lax.conv_general_dilated(
+            xs, kp, window_strides=(1, 1, 2),
+            padding=[(1, 1), (2, 1), (2, 2)], dimension_numbers=dn)
+        bb, tm, hp, wq, _ = y.shape
+        return y.reshape(bb, tm, hp, wq * 2, 64)
 
 
 class ResNet3D(nn.Module):
@@ -140,7 +172,8 @@ class ResNet3D(nn.Module):
         cfg = self.config
         use_s2d = (cfg.stem_s2d and x.shape[2] % 2 == 0
                    and x.shape[3] % 2 == 0)
-        x = _StemConv(dtype=cfg.dtype, s2d=use_s2d, name="stem_conv")(x)
+        x = _StemConv(dtype=cfg.dtype, s2d=use_s2d, pair=cfg.stem_pair,
+                      name="stem_conv")(x)
         x = nn.relu(_bn(train, cfg.dtype, "stem_bn")(x))
         x = nn.max_pool(x, (1, 3, 3), strides=(1, 2, 2),
                         padding=[(0, 0), (1, 1), (1, 1)])

@@ -53,9 +53,20 @@ def test_resnet3d_s2d_stem_exact_equivalence():
     direct = _StemConv(s2d=False)
     params = direct.init(jax.random.PRNGKey(1), x)
     y_direct = direct.apply(params, x)
-    y_s2d = _StemConv(s2d=True).apply(params, x)
-    assert y_direct.shape == y_s2d.shape == (2, 5, 16, 24, 64)
-    np.testing.assert_allclose(np.asarray(y_s2d), np.asarray(y_direct),
+    # Both s2d variants: output-pair packed (default, W/2 even here) and
+    # plain 4-tap. Both must be exact reassociations of the same MACs.
+    for pair in (True, False):
+        y_s2d = _StemConv(s2d=True, pair=pair).apply(params, x)
+        assert y_direct.shape == y_s2d.shape == (2, 5, 16, 24, 64)
+        np.testing.assert_allclose(np.asarray(y_s2d), np.asarray(y_direct),
+                                   rtol=1e-5, atol=1e-5,
+                                   err_msg=f"pair={pair}")
+    # Odd W/2 falls back to the unpaired s2d path.
+    x_odd = jax.random.normal(jax.random.PRNGKey(2), (1, 5, 32, 44, 3),
+                              jnp.float32)
+    y_odd_direct = direct.apply(params, x_odd)
+    y_odd = _StemConv(s2d=True, pair=True).apply(params, x_odd)
+    np.testing.assert_allclose(np.asarray(y_odd), np.asarray(y_odd_direct),
                                rtol=1e-5, atol=1e-5)
 
 
