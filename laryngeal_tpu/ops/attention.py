@@ -63,11 +63,12 @@ def dot_product_attention(
     # per program, and for N<128 a P=128//pow2(N) sequence-packed score
     # layout (ops/short_attention.py). Measured on v5e at the real
     # TimeSformer-B shapes (bf16, 30-iter dependence-chained harness,
-    # scripts/bench_short_attn_op.py): temporal (1576,32,12,64) fwd
-    # 4.42 ms vs XLA 6.00 (1.36x), fwd+bwd 5.39 vs 7.26 (1.35x); spatial
-    # (256,197,12,64) fwd 4.53 vs 6.39 (1.41x), fwd+bwd 6.23 vs 10.81
-    # (1.74x). (The pre-packing kernel LOST at temporal — key padding to
-    # the 128-lane — which is why the packed layout exists.)
+    # scripts/bench_short_attn_op.py, chunk-tuned c<=12): temporal
+    # (1576,32,12,64) fwd 2.76 ms vs XLA 5.05 (1.83x), fwd+bwd 3.86 vs
+    # 7.26 (1.88x); spatial (256,197,12,64) fwd 4.49 vs 6.32 (1.41x),
+    # fwd+bwd 5.85 vs 10.82 (1.85x). (The pre-packing kernel LOST at
+    # temporal — key padding to the 128-lane — hence the packed layout.
+    # Whole-model the spatial win dominates; see BASELINE.md.)
     if (impl == "pallas" and bias is None and q.shape[1] == k.shape[1]
             and q.shape[-1] <= 128 and n < 512):
         from .short_attention import short_attention

@@ -58,9 +58,14 @@ except Exception:  # pragma: no cover
     _VMEM = None
 
 _MASK = -1e30
-# Per-program VMEM budget (bytes) — conservative half of what the window
-# kernel's nwin=2 backward was measured to tolerate (~9 MB).
-_VMEM_BUDGET = 4 * 1024 * 1024
+# Per-program VMEM budget (bytes). Hardware chunk sweep at the TimeSformer
+# shapes (v5e, /tmp-sweep recorded in BASELINE.md): throughput peaks at
+# c~12 for BOTH geometries — temporal packed (128,128) fwd 2.70 ms at c=12
+# vs 4.46 at the old 4 MB budget's c=16 (a measured Mosaic cliff at 16),
+# spatial (200,256) bwd best at c=12 (12.6 MB resident, compiles; c=16 at
+# 16.8 MB fails VMEM). So: budget 13 MB, hard cap 12.
+_VMEM_BUDGET = 13 * 1024 * 1024
+_MAX_CHUNK = 12
 
 
 def _round_up(x: int, m: int) -> int:
@@ -75,12 +80,12 @@ def _pow2_at_least(n: int) -> int:
 
 
 def _pick_chunk(nq_pad: int, nk_pad: int, d: int, score_bufs: int) -> int:
-    """Batch-heads per program under the VMEM budget (>=1, <=128)."""
+    """Batch-heads per program under the VMEM budget (>=1, <=_MAX_CHUNK)."""
     per_bh = (4 * nq_pad * d * 2          # q, o (+g, dq in bwd: covered by 4x)
               + 4 * nk_pad * d * 2        # k, v (+dk, dv)
               + score_bufs * nq_pad * nk_pad * 4)
     c = max(1, _VMEM_BUDGET // per_bh)
-    return min(128, c)
+    return min(_MAX_CHUNK, c)
 
 
 def _mask_scores(s, n_actual, s_q, s_k):
