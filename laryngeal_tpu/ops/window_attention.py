@@ -63,6 +63,15 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, rid_ref, o_ref, *, scale, nwin):
     392->512-lane-padded tiles, both intrinsic to Swin's window shape, not
     by dispatch overhead.
 
+    Round-3 negative result (don't retry): replacing this unrolled loop
+    with ONE batched 3-D dot_general over the window axis — the rewrite
+    that took the short-attention kernel from 4.46 to 2.70 ms — measured
+    EQUAL here (stage1/2/3 fwd 1.575/1.511/1.397 vs 1.621/1.510/1.374 ms,
+    noise) and VMEM-OOMed at stage 4 (all nwin=8 score tiles live at once:
+    16.7 MB > the 16 MB scoped limit, where the loop reuses one tile's
+    buffers). At 392x392 score sizes the MXU issues are long enough that
+    the loop pipelines fine; the batched win only exists for tiny tiles.
+
     Matmuls run in the input dtype (bf16 MXU path) with f32 accumulation;
     softmax is f32."""
     single_rid = rid_ref.shape[0] == 1
