@@ -106,6 +106,11 @@ def build_parser(model_default: str = None) -> argparse.ArgumentParser:
                    help="Model-axis (tensor-parallel) device count; composes "
                         "with --mesh_data on one mesh (Megatron-style "
                         "attention/MLP sharding; vivit/timesformer/swin3d)")
+    p.add_argument("--mesh_seq", type=int, default=1,
+                   help="Sequence-axis (context-parallel) device count: "
+                        "token-sharded activations, k/v all-gathered per "
+                        "attention (parallel/sp.py; vivit/timesformer). "
+                        "Composes with --mesh_data/--mesh_model on one mesh")
     p.add_argument("--crop_size", type=int, default=224)
     p.add_argument("--grad_accum_steps", type=int, default=1,
                    help="Split each batch into this many micro-batches and "
@@ -233,19 +238,26 @@ def run(args) -> dict:
         logger.info("%s: %d videos %s", split, len(ds), ds.class_counts)
 
     mesh = None
-    if args.mesh_model > 1:
-        if spec.name not in ("vivit", "timesformer", "swin3d"):
+    if args.mesh_seq > 1 and spec.name not in ("vivit", "timesformer"):
+        raise SystemExit(
+            "--mesh_seq applies to the long-token transformer families "
+            "(vivit/timesformer); the windowed/CNN families carry no "
+            "global token axis to shard")
+    if args.mesh_model > 1 or args.mesh_seq > 1:
+        if args.mesh_model > 1 and spec.name not in (
+                "vivit", "timesformer", "swin3d"):
             raise SystemExit(
                 "--mesh_model applies to the transformer families "
                 "(vivit/timesformer/swin3d); CNN params have no "
                 "model-axis layout")
         n_data = args.mesh_data or max(
-            1, jax.device_count() // args.mesh_model)
+            1, jax.device_count() // (args.mesh_model * args.mesh_seq))
         if args.batch_size % n_data != 0:
             raise SystemExit(
                 f"--batch_size {args.batch_size} must be divisible by the "
                 f"data-axis size {n_data}")
-        mesh = make_mesh(n_data=n_data, n_model=args.mesh_model)
+        mesh = make_mesh(n_data=n_data, n_model=args.mesh_model,
+                         n_seq=args.mesh_seq)
     elif args.mesh_data is None and jax.device_count() > 1:
         from ..parallel.mesh import auto_mesh
 
@@ -257,8 +269,16 @@ def run(args) -> dict:
                 f"--mesh_data {args.mesh_data}")
         mesh = make_mesh(n_data=args.mesh_data)
     if mesh is not None:
-        logger.info("Mesh: %s (data=%d, model=%d)", dict(mesh.shape),
-                    mesh.shape.get("data", 1), mesh.shape.get("model", 1))
+        logger.info("Mesh: %s (data=%d, seq=%d, model=%d)", dict(mesh.shape),
+                    mesh.shape.get("data", 1), mesh.shape.get("seq", 1),
+                    mesh.shape.get("model", 1))
+        if mesh.shape.get("seq", 1) > 1:
+            from ..parallel.sp import enable_sequence_sharding
+
+            # Process-wide: the trainer's jitted steps trace lazily on
+            # their first batch, so the constraint state must outlive this
+            # function (parallel/sp.py docstring).
+            enable_sequence_sharding(mesh)
 
     config = {
         "data_dir": args.data_dir, "test_dir": args.test_data_dir or args.data_dir,

@@ -78,11 +78,11 @@ class TransformerBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, bias: Optional[jax.Array] = None) -> jax.Array:
         h = nn.LayerNorm(epsilon=self.layer_norm_eps, name="layernorm_before")(x)
         x = x + SelfAttention(
             self.hidden_size, self.num_heads, dtype=self.dtype, name="attention"
-        )(h)
+        )(h, bias=bias)
         h = nn.LayerNorm(epsilon=self.layer_norm_eps, name="layernorm_after")(x)
         return x + Mlp(
             self.hidden_size, self.intermediate_size, act=self.act,

@@ -86,12 +86,20 @@ class TimesformerLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        from ..parallel.sp import constrain_tokens
+
         cfg = self.config
         b, total, d = x.shape
         t = cfg.num_frames
         n = (total - 1) // t  # spatial patches
 
-        cls, patches = x[:, :1], x[:, 1:]
+        # Sequence parallelism (parallel/sp.py): the carried vector is
+        # (B, 1+n*t, D) — odd because of cls — so the sharding constraints
+        # pin the (B, n*t, D) *patches* instead (n*t = 196*32 = 2^7*7^2 at
+        # the real geometry, divisible by any practical seq axis; cls rides
+        # replicated). The (B,n*t,D)<->(B*n,t,D)<->(B*t,1+n,D) reshapes in
+        # between re-shard automatically under GSPMD. No-op single-chip.
+        cls, patches = x[:, :1], constrain_tokens(x[:, 1:])
 
         # Temporal attention: (B, N, T, D) -> (B*N, T, D).
         pt = patches.reshape(b * n, t, d)
@@ -100,7 +108,7 @@ class TimesformerLayer(nn.Module):
                               name="temporal_attention")(h)
         h = h.reshape(b, n * t, d)
         h = nn.Dense(cfg.hidden_size, dtype=cfg.dtype, name="temporal_dense")(h)
-        patches = patches + h
+        patches = constrain_tokens(patches + h)
 
         # Spatial attention: (B, N, T, D) -> (B*T, 1+N, D) with tiled cls.
         sp = patches.reshape(b, n, t, d).transpose(0, 2, 1, 3).reshape(b * t, n, d)

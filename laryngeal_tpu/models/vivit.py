@@ -87,8 +87,21 @@ class VivitForVideoClassification(nn.Module):
 
     @nn.compact
     def __call__(self, pixel_values: jax.Array, train: bool = False) -> jax.Array:
+        from ..parallel.sp import (
+            anchor_tokens_replicated, constrain_tokens, pad_tokens,
+            padded_key_bias)
+
         cfg = self.config
-        x = VivitEmbeddings(cfg, name="embeddings")(pixel_values)
+        # Sequence parallelism (parallel/sp.py): pad the token axis to a
+        # seq-mesh multiple (N = 3137 is prime) with the padded keys masked
+        # out of every attention, then pin (data, seq) sharding per block —
+        # GSPMD keeps LN/MLP token-sharded and all-gathers k/v for
+        # attention. All of it no-ops single-chip.
+        x = anchor_tokens_replicated(
+            VivitEmbeddings(cfg, name="embeddings")(pixel_values))
+        n_real = x.shape[1]
+        x = constrain_tokens(pad_tokens(x))
+        sp_bias = padded_key_bias(x.shape[1], n_real)
         # Selective remat: save attention outputs so the remat pass skips
         # the N^2 flash forward (its custom_vjp re-derives softmax from
         # q/k/v residuals anyway); only dense glue is recomputed.
@@ -98,7 +111,7 @@ class VivitForVideoClassification(nn.Module):
                          "attn_out"))
             if cfg.remat else TransformerBlock)
         for i in range(cfg.num_layers):
-            x = block_cls(
+            x = constrain_tokens(block_cls(
                 cfg.hidden_size,
                 cfg.num_heads,
                 cfg.intermediate_size,
@@ -106,7 +119,7 @@ class VivitForVideoClassification(nn.Module):
                 layer_norm_eps=cfg.layer_norm_eps,
                 dtype=cfg.dtype,
                 name=f"layer_{i}",
-            )(x)
+            )(x, sp_bias))
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="layernorm")(x)
         cls = x[:, 0]
         return nn.Dense(cfg.num_classes, name="classifier")(cls).astype(jnp.float32)

@@ -57,6 +57,15 @@ def dot_product_attention(
     (used by Swin3D's relative position bias + shift masks).
     """
     impl = impl or get_attention_impl()
+    # Under sequence (token-axis) sharding the SPMD partitioner must split
+    # this op q-sharded with all-gathered k/v; a Pallas kernel is an opaque
+    # custom call it can only replicate, so force the partitionable XLA path
+    # while sp is enabled (parallel/sp.py).
+    if impl == "pallas":
+        from ..parallel.sp import sequence_sharding_enabled
+
+        if sequence_sharding_enabled():
+            impl = "xla"
     n = max(q.shape[1], k.shape[1])
     # Short/mid sequences (TimeSformer divided attention) go to the batched
     # short-sequence kernel: full softmax in VMEM, a chunk of batch-heads

@@ -18,22 +18,33 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+SEQ_AXIS = "seq"
 MODEL_AXIS = "model"
 
 
 def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
-              devices=None) -> Mesh:
-    """Mesh over (data, model). Defaults to all devices on the data axis."""
+              n_seq: int = 1, devices=None) -> Mesh:
+    """Mesh over (data, seq, model). Defaults to all devices on the data axis.
+
+    The 'seq' axis carries sequence (context) parallelism — token-axis
+    activation sharding (parallel/sp.py); 'model' carries Megatron tensor
+    parallelism (parallel/tp.py). Axis order puts 'model' innermost so TP's
+    per-block all-reduces ride adjacent-chip ICI links on a real slice, with
+    'seq' next (all-gather of k/v once per attention) and 'data' outermost
+    (one gradient all-reduce per step). PartitionSpecs that name only 'data'
+    or 'model' work unchanged on the 3-axis mesh (unnamed axes replicate).
+    """
     devices = list(devices if devices is not None else jax.devices())
     if n_data is None:
-        n_data = len(devices) // n_model
-    if n_data * n_model > len(devices):
+        n_data = len(devices) // (n_model * n_seq)
+    if n_data * n_model * n_seq > len(devices):
         raise ValueError(
-            f"mesh {n_data}x{n_model} needs {n_data * n_model} devices, "
-            f"have {len(devices)}"
+            f"mesh {n_data}x{n_seq}x{n_model} needs "
+            f"{n_data * n_model * n_seq} devices, have {len(devices)}"
         )
-    grid = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
-    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+    grid = np.asarray(devices[: n_data * n_seq * n_model]).reshape(
+        n_data, n_seq, n_model)
+    return Mesh(grid, (DATA_AXIS, SEQ_AXIS, MODEL_AXIS))
 
 
 def auto_mesh(batch_size: int, devices=None) -> Optional[Mesh]:

@@ -1,0 +1,208 @@
+"""Pipeline parallelism (GPipe) over transformer blocks — shard_map + ppermute.
+
+The reference is single-GPU (SURVEY.md §2.4); dp/tp/sp already exist here.
+This module adds the fourth classic axis: partition the L identical
+transformer blocks into S *stages*, one stage of L/S consecutive blocks per
+device, and march M microbatches through them on a GPipe schedule. Unlike
+dp/tp/sp (which lean on GSPMD sharding constraints), a pipeline's
+stage-crossing dataflow is explicitly scheduled, so this is written the
+TPU-native manual way: ``shard_map`` over a ('data', 'stage') mesh with
+``jax.lax.ppermute`` moving activations to the next stage over ICI each
+tick. Autodiff reverses the schedule for free (ppermute's transpose is the
+inverse permutation), so one ``jax.grad`` over the pipelined forward is a
+correct pipelined backward.
+
+Why this shape of code:
+- block params are STACKED along a leading (L,) axis and sharded over
+  'stage' (`stack_layer_params`); each device scans its local (L/S, ...)
+  slab with ``lax.scan`` — one compiled block body reused, no per-layer
+  unrolled HLO;
+- the schedule loop is a Python loop of M+S-1 ticks (static — jit sees a
+  fixed unrolled pipeline), each tick = apply local stage + ppermute to the
+  next stage. Ramp-up/down bubbles compute on zeros and are never read;
+- embeddings/head stay outside the shard_map island in plain GSPMD-land:
+  the outer jit's partitioner handles their data-parallel grads, and the
+  'stage' axis only ever carries block params/activations.
+
+Fidelity note: per-microbatch block outputs are numerically IDENTICAL to
+the sequential model (no recompute tricks), so pp composes with the parity
+contracts. LayerNorm-only models here have no cross-microbatch coupling
+(no BatchNorm in the transformer families), making GPipe exact, not
+approximate.
+
+The bubble fraction is (S-1)/(M+S-1) — callers pick M >= S. The final
+stage's outputs are returned to every stage with a masked psum (simple,
+replicated); a production serving path would reduce-scatter instead — at
+these model sizes (<=100 MB activations/step) the simplicity wins.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:  # promoted out of jax.experimental in jax 0.8 (check_rep -> check_vma)
+    from functools import partial as _partial
+
+    shard_map = _partial(jax.shard_map, check_vma=False)
+    _HAS_CHECK_REP = False
+except AttributeError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+    _HAS_CHECK_REP = True
+
+DATA_AXIS = "data"
+STAGE_AXIS = "stage"
+
+
+def make_pp_mesh(n_stage: int, n_data: int = 1, devices=None) -> Mesh:
+    """('data', 'stage') mesh — 'stage' innermost so tick-to-tick ppermute
+    rides adjacent-chip ICI links."""
+    devices = list(devices if devices is not None else jax.devices())
+    need = n_stage * n_data
+    if need > len(devices):
+        raise ValueError(f"pp mesh {n_data}x{n_stage} needs {need} devices, "
+                         f"have {len(devices)}")
+    grid = np.asarray(devices[:need]).reshape(n_data, n_stage)
+    return Mesh(grid, (DATA_AXIS, STAGE_AXIS))
+
+
+def stack_layer_params(params: Dict, num_layers: int,
+                       prefix: str = "layer_") -> Tuple:
+    """Split a flax param dict into (stacked block params (L, ...), rest).
+
+    The transformer families name their blocks ``layer_{i}`` with identical
+    structure (models/vivit.py, models/timesformer.py), so stacking is a
+    pure tree-map; `unstack_layer_params` inverts it bit-exactly (used to
+    round-trip checkpoints through the pipelined layout).
+    """
+    layers = [params[f"{prefix}{i}"] for i in range(num_layers)]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+    rest = {
+        k: v for k, v in params.items()
+        if not (k.startswith(prefix) and k[len(prefix):].isdigit())
+    }
+    return stacked, rest
+
+
+def unstack_layer_params(stacked, num_layers: int, prefix: str = "layer_") -> Dict:
+    return {
+        f"{prefix}{i}": jax.tree.map(lambda x, i=i: x[i], stacked)
+        for i in range(num_layers)
+    }
+
+
+def stage_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading (L,) axis of stacked block params sharded over 'stage'."""
+    return NamedSharding(mesh, P(STAGE_AXIS))
+
+
+def pipeline_apply(
+    mesh: Mesh,
+    block_apply: Callable,
+    stacked_params,
+    x: jax.Array,
+    num_microbatches: int,
+) -> jax.Array:
+    """GPipe-apply L stacked blocks to (B, N, D) tokens over `mesh`'s stages.
+
+    block_apply(one_layer_params, (mb, N, D)) -> (mb, N, D) applies a single
+    block. Output equals the sequential composition block_{L-1} ∘ ... ∘
+    block_0 exactly (per microbatch; no cross-microbatch state). Must be
+    called inside jit for the shard_map island to partition.
+    """
+    n_stage = mesh.shape[STAGE_AXIS]
+    n_layers = jax.tree.leaves(stacked_params)[0].shape[0]
+    if n_layers % n_stage:
+        raise ValueError(f"{n_layers} layers not divisible into {n_stage} stages")
+    m = num_microbatches
+    b = x.shape[0]
+    if b % m:
+        raise ValueError(f"batch {b} not divisible into {m} microbatches")
+    xm = x.reshape(m, b // m, *x.shape[1:])
+
+    def stage_fn(local_params, xmb):
+        # local_params: (L/S, ...); xmb: (M, mb_local, N, D)
+        sid = jax.lax.axis_index(STAGE_AXIS)
+
+        def apply_stage(tokens):
+            def body(carry, p):
+                return block_apply(p, carry), None
+
+            out, _ = jax.lax.scan(body, tokens, local_params)
+            return out
+
+        fwd = [(i, i + 1) for i in range(n_stage - 1)]
+        buf = jnp.zeros_like(xmb[0])
+        outs = jnp.zeros_like(xmb)
+        for t in range(m + n_stage - 1):
+            # Stage s computes microbatch (t - s) this tick; stage 0 feeds
+            # fresh input, others consume the ppermute'd previous output.
+            feed = xmb[t] if t < m else jnp.zeros_like(xmb[0])
+            inp = jnp.where(sid == 0, feed, buf)
+            y = apply_stage(inp)
+            if t >= n_stage - 1:
+                done = t - (n_stage - 1)
+                outs = outs.at[done].set(
+                    jnp.where(sid == n_stage - 1, y, outs[done]))
+            if n_stage > 1:
+                buf = jax.lax.ppermute(y, STAGE_AXIS, fwd)
+        # Hand the last stage's outputs to every stage (masked psum).
+        outs = jax.lax.psum(
+            jnp.where(sid == n_stage - 1, outs, jnp.zeros_like(outs)),
+            STAGE_AXIS)
+        return outs
+
+    kwargs = {"check_rep": False} if _HAS_CHECK_REP else {}
+    out = shard_map(
+        stage_fn,
+        mesh=mesh,
+        in_specs=(P(STAGE_AXIS), P(None, DATA_AXIS)),
+        out_specs=P(None, DATA_AXIS),
+        **kwargs,
+    )(stacked_params, xm)
+    return out.reshape(b, *x.shape[1:])
+
+
+def vivit_pipeline_forward(
+    cfg,
+    stacked_params,
+    rest_params: Dict,
+    pixel_values: jax.Array,
+    mesh: Mesh,
+    num_microbatches: int,
+) -> jax.Array:
+    """Full ViViT forward with the 12-block stack pipelined over stages.
+
+    Numerically identical to ``VivitForVideoClassification.apply`` on the
+    unstacked params (tests/test_pp.py pins it): embeddings and head run in
+    plain GSPMD-land (replicated params, data-sharded batch); only the block
+    stack crosses the shard_map pipeline island. ``stacked_params`` /
+    ``rest_params`` come from :func:`stack_layer_params`; keep the stacked
+    tree device_put with :func:`stage_sharding` so each device stores only
+    its own stage's blocks.
+    """
+    import flax.linen as nn
+
+    from ..models.layers import TransformerBlock, gelu_fast
+    from ..models.vivit import VivitEmbeddings
+
+    x = VivitEmbeddings(cfg).apply(
+        {"params": rest_params["embeddings"]}, pixel_values)
+    block = TransformerBlock(
+        cfg.hidden_size, cfg.num_heads, cfg.intermediate_size, act=gelu_fast,
+        layer_norm_eps=cfg.layer_norm_eps, dtype=cfg.dtype)
+
+    def block_apply(p, tokens):
+        return block.apply({"params": p}, tokens)
+
+    x = pipeline_apply(mesh, block_apply, stacked_params, x, num_microbatches)
+    x = nn.LayerNorm(epsilon=cfg.layer_norm_eps).apply(
+        {"params": rest_params["layernorm"]}, x)
+    logits = nn.Dense(cfg.num_classes).apply(
+        {"params": rest_params["classifier"]}, x[:, 0])
+    return logits.astype(jnp.float32)
