@@ -111,6 +111,18 @@ def build_parser(model_default: str = None) -> argparse.ArgumentParser:
                         "token-sharded activations, k/v all-gathered per "
                         "attention (parallel/sp.py; vivit/timesformer). "
                         "Composes with --mesh_data/--mesh_model on one mesh")
+    p.add_argument("--pp_stages", type=int, default=1,
+                   help="GPipe pipeline stages: the transformer block stack "
+                        "is split into this many stages, one per device "
+                        "along a 'stage' mesh axis, with microbatch "
+                        "activations ppermute'd stage-to-stage "
+                        "(parallel/pp.py; vivit/timesformer). Uses its own "
+                        "(data, stage) mesh — exclusive with "
+                        "--mesh_model/--mesh_seq")
+    p.add_argument("--pp_microbatches", type=int, default=None,
+                   help="GPipe microbatches per batch (default: pp_stages; "
+                        "bubble fraction is (S-1)/(M+S-1), so larger M "
+                        "amortizes the pipeline ramp)")
     p.add_argument("--crop_size", type=int, default=224)
     p.add_argument("--grad_accum_steps", type=int, default=1,
                    help="Split each batch into this many micro-batches and "
@@ -243,7 +255,28 @@ def run(args) -> dict:
             "--mesh_seq applies to the long-token transformer families "
             "(vivit/timesformer); the windowed/CNN families carry no "
             "global token axis to shard")
-    if args.mesh_model > 1 or args.mesh_seq > 1:
+    if args.pp_stages > 1:
+        if spec.name not in ("vivit", "timesformer"):
+            raise SystemExit(
+                "--pp_stages applies to the uniform-block-stack transformer "
+                "families (vivit/timesformer)")
+        if args.mesh_model > 1 or args.mesh_seq > 1:
+            raise SystemExit(
+                "--pp_stages uses its own (data, stage) mesh and does not "
+                "compose with --mesh_model/--mesh_seq")
+        from ..parallel.pp import PipelinedModel, make_pp_mesh
+
+        n_data = args.mesh_data or max(1, jax.device_count() // args.pp_stages)
+        micro = args.pp_microbatches or args.pp_stages
+        if args.batch_size % micro or (args.batch_size // micro) % n_data:
+            raise SystemExit(
+                f"--batch_size {args.batch_size} must split into "
+                f"{micro} microbatches x data-axis {n_data}")
+        mesh = make_pp_mesh(n_stage=args.pp_stages, n_data=n_data)
+        model = PipelinedModel(model, mesh, micro)
+        logger.info("Pipeline mesh: %s (GPipe stages=%d, microbatches=%d)",
+                    dict(mesh.shape), args.pp_stages, micro)
+    elif args.mesh_model > 1 or args.mesh_seq > 1:
         if args.mesh_model > 1 and spec.name not in (
                 "vivit", "timesformer", "swin3d"):
             raise SystemExit(
@@ -334,19 +367,42 @@ def run(args) -> dict:
                       exp_dir=exp_dir, mesh=mesh, tracker=tracker,
                       visualizer=visualizer)
 
+    def _seq_view(state):
+        """Weight loaders/converters speak the sequential param layout; give
+        them that view of a pipelined state and fold the result back into
+        the {"stacked","rest"} stage-sharded layout (parallel/pp.py)."""
+        if args.pp_stages <= 1:
+            return state, lambda s: s
+        from ..parallel.pp import (from_sequential_params, shard_pp_state,
+                                   to_sequential_params)
+
+        n_layers = model.config.num_layers
+        seq = state.replace(
+            params=to_sequential_params(state.params, n_layers))
+
+        def restack(loaded_state):
+            new = state.replace(
+                params=from_sequential_params(loaded_state.params, n_layers))
+            return shard_pp_state(new, mesh)
+
+        return seq, restack
+
     if args.torch_weights:
         from ..compat.loading import load_torch_weights_into_state
 
-        trainer.state = load_torch_weights_into_state(
-            trainer.state, args.model, args.torch_weights, logger)
+        seq, restack = _seq_view(trainer.state)
+        trainer.state = restack(load_torch_weights_into_state(
+            seq, args.model, args.torch_weights, logger))
     elif (args.pretrained and not args.checkpoint_path and not args.resume
           and not args.skip_train
           and os.environ.get("LARYNGEAL_PRETRAINED", "1") != "0"):
         from ..compat.pretrained import load_pretrained_into_state
 
-        trainer.state, loaded = load_pretrained_into_state(
-            trainer.state, args.model, model_size=args.model_size,
+        seq, restack = _seq_view(trainer.state)
+        loaded_state, loaded = load_pretrained_into_state(
+            seq, args.model, model_size=args.model_size,
             model_id=args.model_name, logger=logger)
+        trainer.state = restack(loaded_state)
         if not loaded:
             logger.warning(
                 "PRETRAINED WEIGHTS UNAVAILABLE (no cache, no network): "

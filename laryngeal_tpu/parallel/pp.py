@@ -168,6 +168,41 @@ def pipeline_apply(
     return out.reshape(b, *x.shape[1:])
 
 
+def timesformer_pipeline_forward(
+    cfg,
+    stacked_params,
+    rest_params: Dict,
+    pixel_values: jax.Array,
+    mesh: Mesh,
+    num_microbatches: int,
+) -> jax.Array:
+    """Full TimeSformer forward with the block stack pipelined over stages.
+
+    Same contract as :func:`vivit_pipeline_forward`: numerically identical
+    to ``TimesformerForVideoClassification.apply`` on the unstacked params
+    (tests/test_pp.py). The divided space-time reshapes live entirely
+    inside each block, so a block is still a (mb, 1+n*t, D) -> same-shape
+    map and pipelines unchanged.
+    """
+    import flax.linen as nn
+
+    from ..models.timesformer import TimesformerEmbeddings, TimesformerLayer
+
+    x = TimesformerEmbeddings(cfg).apply(
+        {"params": rest_params["embeddings"]}, pixel_values)
+    layer = TimesformerLayer(cfg)
+
+    def block_apply(p, tokens):
+        return layer.apply({"params": p}, tokens)
+
+    x = pipeline_apply(mesh, block_apply, stacked_params, x, num_microbatches)
+    x = nn.LayerNorm(epsilon=cfg.layer_norm_eps).apply(
+        {"params": rest_params["layernorm"]}, x)
+    logits = nn.Dense(cfg.num_classes).apply(
+        {"params": rest_params["classifier"]}, x[:, 0])
+    return logits.astype(jnp.float32)
+
+
 def vivit_pipeline_forward(
     cfg,
     stacked_params,
@@ -206,3 +241,88 @@ def vivit_pipeline_forward(
     logits = nn.Dense(cfg.num_classes).apply(
         {"params": rest_params["classifier"]}, x[:, 0])
     return logits.astype(jnp.float32)
+
+
+class PipelinedModel:
+    """Duck-typed Flax-model adapter making GPipe reachable through the
+    standard Trainer/steps machinery (train/steps.py only ever calls
+    ``model.init`` / ``model.apply``).
+
+    ``init`` initializes the wrapped sequential model and re-lays its params
+    out as ``{"stacked": (L, ...) block stack, "rest": embeddings/head}``;
+    ``apply`` runs the family's pipelined forward over ``mesh``. Keep the
+    TrainState produced from this adapter sharded with :func:`shard_pp_state`
+    so each device stores only its own stage's blocks (and their optimizer
+    moments). ``to_sequential_params`` / ``from_sequential_params`` convert
+    checkpoints between the two layouts.
+
+    The reference is single-GPU (SURVEY.md §2.4) — no counterpart; this is
+    the TPU-native scale-out path for the transformer families.
+    """
+
+    is_pipelined = True
+
+    def __init__(self, model, mesh: Mesh, num_microbatches: int):
+        fam = type(model).__name__
+        if "Vivit" in fam:
+            self._forward = vivit_pipeline_forward
+        elif "Timesformer" in fam:
+            self._forward = timesformer_pipeline_forward
+        else:
+            raise ValueError(
+                f"pipeline parallelism supports the uniform-stack transformer "
+                f"families (vivit/timesformer), got {fam}")
+        n_stage = mesh.shape[STAGE_AXIS]
+        if model.config.num_layers % n_stage:
+            raise ValueError(
+                f"{model.config.num_layers} layers not divisible into "
+                f"{n_stage} stages")
+        if num_microbatches < n_stage:
+            raise ValueError(
+                f"num_microbatches {num_microbatches} < stages {n_stage}: "
+                f"the bubble would dominate (pick M >= S)")
+        self.inner = model
+        self.config = model.config
+        self.mesh = mesh
+        self.num_microbatches = num_microbatches
+
+    def init(self, rng, sample_input):
+        variables = self.inner.init(rng, sample_input)
+        stacked, rest = stack_layer_params(
+            variables["params"], self.config.num_layers)
+        return {"params": {"stacked": stacked, "rest": rest}}
+
+    def apply(self, variables, pixel_values, train: bool = False,
+              rngs=None, mutable=None):
+        # train/rngs accepted for steps.py signature-compat; the pipelined
+        # families are dropout-free so the forward is deterministic.
+        p = variables["params"]
+        return self._forward(self.config, p["stacked"], p["rest"],
+                             pixel_values, self.mesh, self.num_microbatches)
+
+
+def shard_pp_state(state, mesh: Mesh):
+    """device_put a TrainState from :class:`PipelinedModel`: every leaf under
+    a ``stacked`` key (params AND the optimizer moments mirroring them) gets
+    the leading-(L,) stage sharding; everything else replicates."""
+    stage = stage_sharding(mesh)
+    rep = NamedSharding(mesh, P())
+
+    def put(path, x):
+        names = {getattr(k, "key", getattr(k, "name", None)) for k in path}
+        return jax.device_put(x, stage if "stacked" in names else rep)
+
+    return jax.tree_util.tree_map_with_path(put, state)
+
+
+def to_sequential_params(pp_params: Dict, num_layers: int) -> Dict:
+    """{"stacked","rest"} pipeline layout -> the sequential model's params."""
+    out = dict(pp_params["rest"])
+    out.update(unstack_layer_params(pp_params["stacked"], num_layers))
+    return out
+
+
+def from_sequential_params(params: Dict, num_layers: int) -> Dict:
+    """Sequential params -> {"stacked","rest"} (inverse of the above)."""
+    stacked, rest = stack_layer_params(params, num_layers)
+    return {"stacked": stacked, "rest": rest}

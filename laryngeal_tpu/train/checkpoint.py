@@ -78,6 +78,42 @@ def save_checkpoint(
     return str(path)
 
 
+def _restore_cross_layout(path: Path, state_template: TrainState) -> Dict:
+    """Bridge the GPipe param layout (parallel/pp.py ``{"stacked","rest"}``)
+    and the sequential ``layer_{i}`` layout when the checkpoint and the
+    template disagree — e.g. running inference on a checkpoint written by a
+    ``--pp_stages`` training run, or warm-starting a pipelined run from a
+    sequential checkpoint. Params convert exactly (stack/unstack is a pure
+    relayout); the optimizer state is taken fresh from the template (its
+    moment trees mirror the other layout), so a cross-layout restore resets
+    optimizer momentum — fine for inference/eval and for warm starts, stated
+    here rather than silently half-restored.
+    """
+    from ..parallel.pp import from_sequential_params, to_sequential_params
+
+    with ocp.StandardCheckpointer() as ckptr:
+        raw = ckptr.restore(path / "state")  # layout-free restore
+    saved = raw.get("params", {})
+    want = state_template.params
+    if isinstance(saved, dict) and set(saved) == {"stacked", "rest"} and not (
+            isinstance(want, dict) and set(want) == {"stacked", "rest"}):
+        n_layers = jax.tree.leaves(saved["stacked"])[0].shape[0]
+        params = to_sequential_params(saved, n_layers)
+    elif isinstance(want, dict) and set(want) == {"stacked", "rest"}:
+        n_layers = jax.tree.leaves(want["stacked"])[0].shape[0]
+        params = from_sequential_params(saved, n_layers)
+    else:
+        raise ValueError(
+            f"checkpoint at {path} does not match the template param "
+            f"structure and is not a known pipeline<->sequential relayout")
+    return {
+        "step": raw.get("step", state_template.step),
+        "params": params,
+        "opt_state": state_template.opt_state,
+        "batch_stats": raw.get("batch_stats", state_template.batch_stats),
+    }
+
+
 def load_checkpoint(path, state_template: TrainState) -> Dict[str, Any]:
     """Restore {state, epoch, history, config, class_labels} from `path`.
 
@@ -85,10 +121,13 @@ def load_checkpoint(path, state_template: TrainState) -> Dict[str, Any]:
     TrainState from the same model/optimizer).
     """
     path = Path(path).absolute()
-    with ocp.StandardCheckpointer() as ckptr:
-        restored = ckptr.restore(
-            path / "state", _state_pytree(state_template)
-        )
+    try:
+        with ocp.StandardCheckpointer() as ckptr:
+            restored = ckptr.restore(
+                path / "state", _state_pytree(state_template)
+            )
+    except Exception:
+        restored = _restore_cross_layout(path, state_template)
     state = state_template.replace(
         step=restored["step"],
         params=restored["params"],

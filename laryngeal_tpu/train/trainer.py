@@ -89,25 +89,33 @@ class Trainer:
             trainable_mask_fn=trainable_mask_fn,
         )
         # Model-axis (tensor) parallelism when the mesh carries a model
-        # dimension; plain replication otherwise.
+        # dimension; GPipe stage sharding for a PipelinedModel (parallel/
+        # pp.py); plain replication otherwise.
         self.tp = mesh is not None and mesh.shape.get("model", 1) > 1
+        self.pp = bool(getattr(model, "is_pipelined", False))
         if self.tp:
             from ..parallel.tp import shard_train_state
 
             self.state = shard_train_state(self.state, mesh)
+        elif self.pp:
+            from ..parallel.pp import shard_pp_state
+
+            self.state = shard_pp_state(self.state, mesh)
         elif mesh is not None:
             from ..parallel.mesh import replicate
 
             self.state = replicate(mesh, self.state)
 
+        # tp and pp both carry non-replicated state shardings that must
+        # propagate through the step instead of being forced to replicate.
         self.train_step = make_train_step(
             model, spec.preprocess_regime, spec.loss, self.pos_weight, mesh,
             crop=self.crop, grad_accum=int(config.get("grad_accum_steps", 1)),
-            tp=self.tp,
+            tp=self.tp or self.pp,
         )
         self.eval_step = make_eval_step(
             model, spec.preprocess_regime, spec.loss, self.pos_weight, mesh,
-            crop=self.crop, tp=self.tp,
+            crop=self.crop, tp=self.tp or self.pp,
         )
 
         # Policies.

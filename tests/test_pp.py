@@ -123,3 +123,130 @@ def test_vivit_pipeline_full_model():
     )(stacked_dev, rest, x)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_timesformer_pipeline_full_model():
+    """Whole-model pipelined TimeSformer forward == sequential apply (the
+    divided space-time reshapes live inside each block, so the block is
+    still a same-shape token map)."""
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    from laryngeal_tpu.models.timesformer import (
+        TimesformerConfig, TimesformerForVideoClassification)
+    from laryngeal_tpu.parallel.pp import timesformer_pipeline_forward
+
+    cfg = TimesformerConfig(hidden_size=32, num_layers=4, num_heads=2,
+                            intermediate_size=64, image_size=32, num_frames=4,
+                            patch_size=16, num_classes=2)
+    model = TimesformerForVideoClassification(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(3), (8, 4, 32, 32, 3))
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    ref = model.apply({"params": params}, x)
+
+    mesh = make_pp_mesh(n_stage=4, n_data=2)
+    stacked, rest = stack_layer_params(params, cfg.num_layers)
+    stacked_dev = jax.device_put(stacked, stage_sharding(mesh))
+    out = jax.jit(
+        lambda s, r, v: timesformer_pipeline_forward(cfg, s, r, v, mesh, 4)
+    )(stacked_dev, rest, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_pp_trainer_dynamics_match_sequential():
+    """The user-reachable path: PipelinedModel through the standard
+    make_train_step == the sequential model's train step, for several
+    optimizer updates (same init, same batches). GPipe is exact for these
+    LayerNorm-only stacks, so losses and the updated params must agree to
+    fp noise."""
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    from laryngeal_tpu.parallel.pp import (
+        PipelinedModel, shard_pp_state, to_sequential_params)
+    from laryngeal_tpu.train.state import create_train_state
+    from laryngeal_tpu.train.steps import make_train_step
+
+    model, params, _ = _init()
+    sample = jnp.zeros((1, 4, 32, 32, 3), jnp.float32)
+    seq_state = create_train_state(model, jax.random.PRNGKey(0), sample,
+                                   optimizer="adamw", learning_rate=1e-3,
+                                   weight_decay=0.01)
+
+    mesh = make_pp_mesh(n_stage=4, n_data=2)
+    pmodel = PipelinedModel(model, mesh, num_microbatches=4)
+    pp_state = create_train_state(pmodel, jax.random.PRNGKey(0), sample,
+                                  optimizer="adamw", learning_rate=1e-3,
+                                  weight_decay=0.01)
+    pp_state = shard_pp_state(pp_state, mesh)
+
+    seq_step = make_train_step(model, "vivit", "ce", crop=32)
+    pp_step = make_train_step(pmodel, "vivit", "ce", mesh=mesh, tp=True,
+                              crop=32)
+
+    rng = np.random.default_rng(0)
+    key = jax.random.PRNGKey(7)
+    for i in range(3):
+        pixel = jnp.asarray(rng.integers(0, 255, (8, 4, 32, 32, 3),
+                                         dtype=np.uint8))
+        labels = jnp.asarray(rng.integers(0, 2, (8,)).astype(np.int32))
+        mask = jnp.ones((8,), jnp.bool_)
+        seq_state, m_seq = seq_step(seq_state, pixel, labels, mask, key)
+        pp_state, m_pp = pp_step(pp_state, pixel, labels, mask, key)
+        np.testing.assert_allclose(float(m_pp["loss"]), float(m_seq["loss"]),
+                                   atol=1e-5, rtol=1e-5)
+
+    seq_from_pp = to_sequential_params(
+        jax.device_get(pp_state.params), CFG.num_layers)
+    flat_pp = jax.tree_util.tree_flatten_with_path(seq_from_pp)[0]
+    flat_seq = jax.tree_util.tree_flatten_with_path(
+        jax.device_get(seq_state.params))[0]
+    for (pa, a), (pb, b) in zip(flat_pp, flat_seq):
+        assert pa == pb
+        path = jax.tree_util.keystr(pa)
+        if "['key']['bias']" in path:
+            # Softmax is invariant to a uniform key-logit shift, so the key
+            # bias has an exactly-zero mathematical gradient; its computed
+            # gradient is pure cancellation noise that Adam normalizes into
+            # a full lr-sized update — legitimately different between the
+            # microbatched schedule and the one-shot sum (measured: only
+            # these four leaves diverge; every real leaf matches at <2e-5).
+            continue
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=2e-5, err_msg=path)
+
+
+def test_pp_checkpoint_cross_layout(tmp_path):
+    """A checkpoint written by a --pp_stages run restores into a sequential
+    template (inference path) and vice versa; logits identical (stack/
+    unstack is a pure relayout). Optimizer state resets, by contract."""
+    if jax.device_count() < 4:
+        pytest.skip("needs 8 virtual devices")
+    from laryngeal_tpu.parallel.pp import PipelinedModel, from_sequential_params
+    from laryngeal_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+    from laryngeal_tpu.train.state import create_train_state
+
+    model, params, x = _init()
+    sample = jnp.zeros((1, 4, 32, 32, 3), jnp.float32)
+    seq_state = create_train_state(model, jax.random.PRNGKey(0), sample,
+                                   optimizer="adamw", learning_rate=1e-3)
+    mesh = make_pp_mesh(n_stage=4, n_data=1)
+    pmodel = PipelinedModel(model, mesh, num_microbatches=4)
+    pp_state = create_train_state(pmodel, jax.random.PRNGKey(0), sample,
+                                  optimizer="adamw", learning_rate=1e-3)
+    pp_state = pp_state.replace(params=from_sequential_params(
+        jax.device_get(seq_state.params), CFG.num_layers))
+
+    # pp checkpoint -> sequential template.
+    save_checkpoint(tmp_path / "pp_ckpt", pp_state, epoch=1)
+    restored = load_checkpoint(tmp_path / "pp_ckpt", seq_state)["state"]
+    ref = model.apply({"params": seq_state.params}, x)
+    got = model.apply({"params": restored.params}, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=0, rtol=0)
+
+    # sequential checkpoint -> pp template.
+    save_checkpoint(tmp_path / "seq_ckpt", seq_state, epoch=1)
+    restored_pp = load_checkpoint(tmp_path / "seq_ckpt", pp_state)["state"]
+    for a, b in zip(jax.tree.leaves(restored_pp.params),
+                    jax.tree.leaves(pp_state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
