@@ -54,19 +54,32 @@ def dot_product_attention(
     """Scaled dot-product attention over (B, N, H, D) tensors.
 
     bias: optional additive logits bias broadcastable to (B, H, Nq, Nk)
-    (used by Swin3D's relative position bias + shift masks).
+    (used by Swin3D's relative position bias + shift masks), or a
+    ``parallel.sp.TrailingKeyMask`` — a static "keys >= n_real are padding"
+    marker the flash kernel applies in-register for free.
     """
     impl = impl or get_attention_impl()
+    n = max(q.shape[1], k.shape[1])
+    kv_valid = None
+    from ..parallel.sp import TrailingKeyMask
+
+    if isinstance(bias, TrailingKeyMask):
+        kv_valid = bias.n_real
+        bias = None
     # Under sequence (token-axis) sharding the SPMD partitioner must split
     # this op q-sharded with all-gathered k/v; a Pallas kernel is an opaque
-    # custom call it can only replicate, so force the partitionable XLA path
-    # while sp is enabled (parallel/sp.py).
+    # custom call it can only replicate, so route it through an explicit
+    # shard_map (q sharded, k/v all-gathered — parallel/sp.py) and fall back
+    # to the partitionable XLA path when the shapes don't shard cleanly.
     if impl == "pallas":
-        from ..parallel.sp import sequence_sharding_enabled
+        from ..parallel.sp import sequence_sharding_enabled, sp_sharded_attention
 
         if sequence_sharding_enabled():
+            if bias is None and q.shape[-1] <= 128 and n >= 512:
+                out = sp_sharded_attention(q, k, v, kv_valid)
+                if out is not None:
+                    return out
             impl = "xla"
-    n = max(q.shape[1], k.shape[1])
     # Short/mid sequences (TimeSformer divided attention) go to the batched
     # short-sequence kernel: full softmax in VMEM, a chunk of batch-heads
     # per program, and for N<128 a P=128//pow2(N) sequence-packed score
@@ -78,7 +91,8 @@ def dot_product_attention(
     # fwd+bwd 5.85 vs 10.82 (1.85x). (The pre-packing kernel LOST at
     # temporal — key padding to the 128-lane — hence the packed layout.
     # Whole-model the spatial win dominates; see BASELINE.md.)
-    if (impl == "pallas" and bias is None and q.shape[1] == k.shape[1]
+    if (impl == "pallas" and bias is None and kv_valid is None
+            and q.shape[1] == k.shape[1]
             and q.shape[-1] <= 128 and n < 512):
         from .short_attention import short_attention
 
@@ -97,8 +111,13 @@ def dot_product_attention(
         # back to classic 512x512 streaming.
         n_pad = -(-n // 128) * 128
         if n_pad <= 4096:  # s-tile 256*n_pad*f32 <= 4 MB
-            return flash_attention(q, k, v, bias, min(256, n_pad), n_pad)
-        return flash_attention(q, k, v, bias, 512, 512)
+            return flash_attention(q, k, v, bias, min(256, n_pad), n_pad,
+                                   kv_valid)
+        return flash_attention(q, k, v, bias, 512, 512, kv_valid)
+    if kv_valid is not None:
+        # XLA path: materialize the trailing-key mask as an additive bias.
+        pad_bias = TrailingKeyMask(k.shape[1], kv_valid).materialize()
+        bias = pad_bias if bias is None else bias + pad_bias
     return jax.nn.dot_product_attention(q, k, v, bias=bias)
 
 

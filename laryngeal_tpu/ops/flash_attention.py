@@ -258,7 +258,7 @@ def _pad_to(x, n, axis):
     return jnp.pad(x, widths)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def flash_attention(
     q: jax.Array,
     k: jax.Array,
@@ -266,14 +266,22 @@ def flash_attention(
     bias: Optional[jax.Array] = None,
     block_q: int = 256,
     block_k: int = 256,
+    kv_valid: Optional[int] = None,
 ) -> jax.Array:
-    """Scaled dot-product attention over (B, N, H, D).
+    """Scaled dot-product attention over (B, Nq, H, D) x (B, Nk, H, D).
+
+    Nq and Nk may differ (cross attention; used by the sequence-parallel
+    path, parallel/sp.py, where each device holds Nq = N/s query tokens
+    against the all-gathered full key/value sequence).
 
     bias is a *differentiated* argument (it may be traced — e.g. Swin3D's
     relative-position-bias table params under jit — and needs gradients);
-    only the static block sizes are nondiff.
+    only the static block sizes are nondiff. ``kv_valid`` (static) masks
+    keys >= kv_valid out of the softmax — the in-kernel form of a trailing
+    key-padding mask (sp's padded token tail), costing nothing over the
+    padding mask the kernel already applies.
     """
-    return _flash_forward(q, k, v, bias, block_q, block_k)
+    return _flash_forward(q, k, v, bias, block_q, block_k, kv_valid=kv_valid)
 
 
 def _to_bh(x):
@@ -289,15 +297,18 @@ def _from_bh(x, b, h):
 
 
 def _flash_forward(q, k, v, bias, block_q, block_k,
-                   interpret: Optional[bool] = None, return_lse: bool = False):
-    b, n, h, d = q.shape
+                   interpret: Optional[bool] = None, return_lse: bool = False,
+                   kv_valid: Optional[int] = None):
+    b, n_q, h, d = q.shape
+    n_k = k.shape[1]
+    n_mask = n_k if kv_valid is None else min(kv_valid, n_k)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     scale = 1.0 / math.sqrt(d)
 
     qb, kb, vb = _to_bh(q), _to_bh(k), _to_bh(v)
-    n_pad_q = -(-n // block_q) * block_q
-    n_pad_k = -(-n // block_k) * block_k
+    n_pad_q = -(-n_q // block_q) * block_q
+    n_pad_k = -(-n_k // block_k) * block_k
     qb = _pad_to(qb, n_pad_q, 1)
     kb = _pad_to(kb, n_pad_k, 1)
     vb = _pad_to(vb, n_pad_k, 1)
@@ -314,7 +325,7 @@ def _flash_forward(q, k, v, bias, block_q, block_k,
         # satisfies that, (1, block_q) does not.
         lse_spec = pl.BlockSpec((1, block_q, 1), lambda bh, qi: (bh, qi, 0), **mem)
         kernel = functools.partial(
-            _attention_kernel_lse, scale=scale, block_k=block_k, n_actual=n
+            _attention_kernel_lse, scale=scale, block_k=block_k, n_actual=n_mask
         )
         out, lse = pl.pallas_call(
             kernel, grid=grid,
@@ -324,10 +335,10 @@ def _flash_forward(q, k, v, bias, block_q, block_k,
                        jax.ShapeDtypeStruct((b * h, n_pad_q, 1), jnp.float32)),
             interpret=interpret,
         )(qb, kb, vb)
-        return _from_bh(out[:, :n], b, h), lse
+        return _from_bh(out[:, :n_q], b, h), lse
     if bias is None:
         kernel = functools.partial(
-            _attention_kernel, scale=scale, block_k=block_k, n_actual=n
+            _attention_kernel, scale=scale, block_k=block_k, n_actual=n_mask
         )
         out = pl.pallas_call(
             kernel, grid=grid,
@@ -337,20 +348,20 @@ def _flash_forward(q, k, v, bias, block_q, block_k,
     else:
         # Broadcast bias to (B*H, Nq_pad, Nk_pad); padded logits masked by
         # n_actual inside the kernel, padded bias values are irrelevant.
-        bias4 = jnp.broadcast_to(bias.astype(q.dtype), (b, h, n, n))
-        bias3 = bias4.reshape(b * h, n, n)
+        bias4 = jnp.broadcast_to(bias.astype(q.dtype), (b, h, n_q, n_k))
+        bias3 = bias4.reshape(b * h, n_q, n_k)
         bias3 = _pad_to(_pad_to(bias3, n_pad_q, 1), n_pad_k, 2)
         bias_spec = pl.BlockSpec((1, block_q, n_pad_k),
                                  lambda bh, qi: (bh, qi, 0), **mem)
         kernel = functools.partial(
-            _attention_kernel_bias, scale=scale, block_k=block_k, n_actual=n
+            _attention_kernel_bias, scale=scale, block_k=block_k, n_actual=n_mask
         )
         out = pl.pallas_call(
             kernel, grid=grid,
             in_specs=[q_spec, kv_spec, kv_spec, bias_spec],
             out_specs=q_spec, out_shape=out_shape, interpret=interpret,
         )(qb, kb, vb, bias3)
-    return _from_bh(out[:, :n], b, h)
+    return _from_bh(out[:, :n_q], b, h)
 
 
 # Backward block-size candidates, chosen per sequence length: sublane-dim
@@ -371,37 +382,44 @@ def _pick_block(n: int, candidates) -> int:
 
 
 def _flash_backward(q, k, v, o, lse_pad, g,
-                    interpret: Optional[bool] = None):
+                    interpret: Optional[bool] = None,
+                    kv_valid: Optional[int] = None):
     """dq/dk/dv via the two-kernel flash scheme. ``lse_pad`` is the forward's
     (B*H, n_pad_q) logsumexp. No (N, N) tensor is materialized in HBM.
+    Handles Nq != Nk (sequence-parallel q-shards against full k/v) and the
+    static ``kv_valid`` trailing-key mask; masked keys get exactly-zero
+    dk/dv (p = 0 kills both accumulation paths).
 
     Block sizes are chosen HERE, independently of the forward's (lse is
     per-row; re-blocking only needs a re-pad): the dq kernel can afford a
     single big k-block like the fwd; the dk/dv kernel holds more live tiles
     (s, p, dp, ds + two accumulators) and VMEM-OOMs there — it streams
     classic 512 blocks."""
-    b, n, h, d = q.shape
+    b, n_q, h, d = q.shape
+    n_k = k.shape[1]
+    n_mask = n_k if kv_valid is None else min(kv_valid, n_k)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     scale = 1.0 / math.sqrt(d)
 
-    npad128 = -(-n // 128) * 128
-    dq_block_q = min(_pick_block(n, _DQ_BLOCK_Q_CANDIDATES), npad128)
-    dq_block_k = npad128 if npad128 <= 4096 else 512
-    block_q = min(_pick_block(n, _DKV_BLOCK_Q_CANDIDATES), npad128)
-    block_k = min(_pick_block(n, _DKV_BLOCK_K_CANDIDATES), npad128)
+    npad128_q = -(-n_q // 128) * 128
+    npad128_k = -(-n_k // 128) * 128
+    dq_block_q = min(_pick_block(n_q, _DQ_BLOCK_Q_CANDIDATES), npad128_q)
+    dq_block_k = npad128_k if npad128_k <= 4096 else 512
+    block_q = min(_pick_block(n_q, _DKV_BLOCK_Q_CANDIDATES), npad128_q)
+    block_k = min(_pick_block(n_k, _DKV_BLOCK_K_CANDIDATES), npad128_k)
 
     # delta = rowsum(dO * O): O(N*D) elementwise in XLA; shaped (BH, N, 1)
     # like lse (see the Mosaic block-dim note in _flash_forward).
     delta = jnp.sum(g.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
-    delta = delta.transpose(0, 2, 1).reshape(b * h, n, 1)
+    delta = delta.transpose(0, 2, 1).reshape(b * h, n_q, 1)
 
-    lse_pad = lse_pad[:, :n]  # trim the forward's padding before re-blocking
-    n_pad_q = -(-n // block_q) * block_q
-    n_pad_k = -(-n // block_k) * block_k
+    lse_pad = lse_pad[:, :n_q]  # trim the forward's padding before re-blocking
+    n_pad_q = -(-n_q // block_q) * block_q
+    n_pad_k = -(-n_k // block_k) * block_k
     # dq grid uses its own (finer q, full k) padding.
-    n_pad_q_dq = -(-n // dq_block_q) * dq_block_q
-    n_pad_k_dq = -(-n // dq_block_k) * dq_block_k
+    n_pad_q_dq = -(-n_q // dq_block_q) * dq_block_q
+    n_pad_k_dq = -(-n_k // dq_block_k) * dq_block_k
     n_pad_q_max = max(n_pad_q, n_pad_q_dq)
     n_pad_k_max = max(n_pad_k, n_pad_k_dq)
     qb = _pad_to(_to_bh(q), n_pad_q_max, 1)
@@ -418,7 +436,7 @@ def _flash_backward(q, k, v, o, lse_pad, g,
 
     dq = pl.pallas_call(
         functools.partial(_dq_kernel, scale=scale, block_k=dq_block_k,
-                          n_actual=n),
+                          n_actual=n_mask),
         grid=(b * h, n_pad_q_dq // dq_block_q),
         in_specs=[dq_qblk, dq_kv, dq_kv, dq_qblk, dq_row, dq_row],
         out_specs=dq_qblk,
@@ -431,7 +449,8 @@ def _flash_backward(q, k, v, o, lse_pad, g,
     q_full = pl.BlockSpec((1, n_pad_q, d), lambda bh, ki: (bh, 0, 0), **mem)
     row_full = pl.BlockSpec((1, n_pad_q, 1), lambda bh, ki: (bh, 0, 0), **mem)
     dk, dv = pl.pallas_call(
-        functools.partial(_dkv_kernel, scale=scale, block_q=block_q, n_actual=n),
+        functools.partial(_dkv_kernel, scale=scale, block_q=block_q,
+                          n_actual=n_mask),
         grid=(b * h, n_pad_k // block_k),
         in_specs=[q_full, kblk, kblk, q_full, row_full, row_full],
         out_specs=(kblk, kblk),
@@ -441,9 +460,9 @@ def _flash_backward(q, k, v, o, lse_pad, g,
     )(qb[:, :n_pad_q], kb[:, :n_pad_k], vb[:, :n_pad_k], gb[:, :n_pad_q],
       lse_pad[:, :n_pad_q], delta[:, :n_pad_q])
 
-    return (_from_bh(dq[:, :n], b, h),
-            _from_bh(dk[:, :n], b, h),
-            _from_bh(dv[:, :n], b, h))
+    return (_from_bh(dq[:, :n_q], b, h),
+            _from_bh(dk[:, :n_k], b, h),
+            _from_bh(dv[:, :n_k], b, h))
 
 
 def _reference(q, k, v, bias=None):
@@ -456,24 +475,30 @@ def _reference(q, k, v, bias=None):
     return jnp.einsum("bhqk,bkhd->bqhd", p, v.astype(jnp.float32)).astype(q.dtype)
 
 
-def _fwd(q, k, v, bias, block_q, block_k):
+def _fwd(q, k, v, bias, block_q, block_k, kv_valid):
     if bias is None:
         out, lse = _flash_forward(q, k, v, None, block_q, block_k,
-                                  return_lse=True)
+                                  return_lse=True, kv_valid=kv_valid)
         return out, (q, k, v, None, out, lse)
-    return (_flash_forward(q, k, v, bias, block_q, block_k),
+    return (_flash_forward(q, k, v, bias, block_q, block_k,
+                           kv_valid=kv_valid),
             (q, k, v, bias, None, None))
 
 
-def _bwd(block_q, block_k, res, g):
+def _bwd(block_q, block_k, kv_valid, res, g):
     q, k, v, bias, o, lse = res
     if bias is None:
-        dq, dk, dv = _flash_backward(q, k, v, o, lse, g)
+        dq, dk, dv = _flash_backward(q, k, v, o, lse, g, kv_valid=kv_valid)
         return dq, dk, dv, None
     # Biased path: recompute-through-XLA backward (exact; only used for the
     # generic-bias API — Swin3D routes through ops.window_attention).
+    if kv_valid is not None:
+        nk = k.shape[1]
+        bias = bias + jnp.where(jnp.arange(nk) < kv_valid, 0.0, -1e30
+                                ).astype(bias.dtype)[None, None, None, :]
     _, vjp = jax.vjp(_reference, q, k, v, bias)
-    return vjp(g)
+    dq, dk, dv, dbias = vjp(g)
+    return dq, dk, dv, dbias
 
 
 flash_attention.defvjp(_fwd, _bwd)

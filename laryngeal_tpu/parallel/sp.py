@@ -155,15 +155,100 @@ def pad_tokens(x: jax.Array) -> jax.Array:
     return jnp.pad(x, ((0, 0), (0, n_pad - n), (0, 0)))
 
 
-def padded_key_bias(n_total: int, n_real: int) -> Optional[jax.Array]:
-    """(1, 1, 1, n_total) additive attention bias masking padded keys.
+class TrailingKeyMask:
+    """Static marker for "keys >= n_real are padding" attention masks.
 
-    0 for real keys, -1e9 for padding (softmax weight underflows to exactly
-    0.0 in f32/bf16). None when nothing is padded, so callers can pass it
-    straight to ``dot_product_attention(bias=...)``.
+    Carries the valid count as a Python int so implementations can apply it
+    without a bias tensor: the flash kernel masks trailing keys in-register
+    (``flash_attention(kv_valid=...)``, free — it already masks its own
+    block padding), while the XLA path materializes the additive form via
+    :meth:`materialize`. ``dot_product_attention`` accepts this anywhere a
+    bias array is accepted.
+    """
+
+    def __init__(self, n_total: int, n_real: int):
+        self.n_total = int(n_total)
+        self.n_real = int(n_real)
+
+    def materialize(self) -> jax.Array:
+        """(1, 1, 1, n_total) additive bias: 0 real keys, -1e9 padding
+        (softmax weight underflows to exactly 0.0 in f32/bf16)."""
+        mask = jnp.arange(self.n_total) < self.n_real
+        return jnp.where(mask, 0.0, -1e9).astype(jnp.float32)[
+            None, None, None, :]
+
+
+# Leafless pytree (all state is static aux data): the mask rides through
+# jit / nn.remat / scan argument flattening as pure structure, never as a
+# traced array — which is the whole point of carrying the count statically.
+jax.tree_util.register_pytree_node(
+    TrailingKeyMask,
+    lambda m: ((), (m.n_total, m.n_real)),
+    lambda aux, _: TrailingKeyMask(*aux),
+)
+
+
+def padded_key_bias(n_total: int, n_real: int) -> Optional[TrailingKeyMask]:
+    """Trailing-key padding mask for attention, or None when nothing is
+    padded — callers pass it straight to ``dot_product_attention(bias=...)``.
     """
     if n_total == n_real:
         return None
-    mask = jnp.arange(n_total) < n_real
-    bias = jnp.where(mask, 0.0, -1e9).astype(jnp.float32)
-    return bias[None, None, None, :]
+    return TrailingKeyMask(n_total, n_real)
+
+
+def sp_sharded_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                         kv_valid: Optional[int] = None) -> Optional[jax.Array]:
+    """Flash attention under sequence sharding: shard_map over the mesh with
+    q kept token-sharded and k/v all-gathered over the 'seq' axis, calling
+    the Pallas kernel per shard (the all-gather-KV context parallelism the
+    GSPMD partitioner performs for the XLA path — but GSPMD cannot split an
+    opaque Pallas custom call, so this routes it by hand; the kernel now
+    takes Nq != Nk for exactly this). Autodiff reverses the all-gather into
+    a reduce-scatter for dk/dv.
+
+    Returns None when the shapes don't shard cleanly (caller falls back to
+    the partitionable XLA path): batch must divide the data axis, tokens the
+    seq axis, and heads the model axis when tensor parallelism is active.
+    """
+    if _STATE is None:
+        return None
+    mesh, data_axis, seq_axis = _STATE
+    s = mesh.shape[seq_axis]
+    b, n_q, h, d = q.shape
+    if s == 1 or n_q % s or k.shape[1] % s or b % mesh.shape[data_axis]:
+        return None
+    from .mesh import MODEL_AXIS
+
+    m = mesh.shape.get(MODEL_AXIS, 1) if MODEL_AXIS in mesh.axis_names else 1
+    head_axis = None
+    if m > 1:
+        if h % m:
+            return None
+        head_axis = MODEL_AXIS
+    try:  # jax >= 0.8 (check_rep renamed); match parallel/pp.py
+        from functools import partial as _partial
+
+        _shard_map = _partial(jax.shard_map, check_vma=False)
+    except AttributeError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map as _sm
+
+        _shard_map = _partial(_sm, check_rep=False)
+
+    from jax.sharding import PartitionSpec as P
+
+    from ..ops.flash_attention import flash_attention
+
+    spec = P(data_axis, seq_axis, head_axis, None)
+    n_k = k.shape[1]
+    n_pad = -(-n_k // 128) * 128
+    block_q, block_k = ((min(256, n_pad), n_pad) if n_pad <= 4096
+                        else (512, 512))
+
+    def local(qs, ks, vs):
+        kf = jax.lax.all_gather(ks, seq_axis, axis=1, tiled=True)
+        vf = jax.lax.all_gather(vs, seq_axis, axis=1, tiled=True)
+        return flash_attention(qs, kf, vf, None, block_q, block_k, kv_valid)
+
+    return _shard_map(local, mesh=mesh, in_specs=(spec, spec, spec),
+                      out_specs=spec)(q, k, v)
