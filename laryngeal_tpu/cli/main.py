@@ -119,6 +119,13 @@ def build_parser(model_default: str = None) -> argparse.ArgumentParser:
                         "(parallel/pp.py; vivit/timesformer). Uses its own "
                         "(data, stage) mesh — exclusive with "
                         "--mesh_model/--mesh_seq")
+    p.add_argument("--fsdp", action="store_true",
+                   help="ZeRO-3-style fully-sharded data parallelism: shard "
+                        "every large parameter (and its optimizer moments) "
+                        "over the data axis; GSPMD all-gathers params before "
+                        "use and reduce-scatters gradients (parallel/"
+                        "fsdp.py). Per-device param+opt memory scales down "
+                        "with --mesh_data; any model family")
     p.add_argument("--pp_microbatches", type=int, default=None,
                    help="GPipe microbatches per batch (default: pp_stages; "
                         "bubble fraction is (S-1)/(M+S-1), so larger M "
@@ -313,7 +320,17 @@ def run(args) -> dict:
             # function (parallel/sp.py docstring).
             enable_sequence_sharding(mesh)
 
+    if args.fsdp:
+        if args.mesh_model > 1 or args.mesh_seq > 1 or args.pp_stages > 1:
+            raise SystemExit(
+                "--fsdp shards params over the data axis of a plain dp mesh; "
+                "it does not compose with --mesh_model/--mesh_seq/--pp_stages")
+        if mesh is None:
+            raise SystemExit(
+                "--fsdp needs a multi-device data mesh (--mesh_data > 1)")
+
     config = {
+        "fsdp": args.fsdp,
         "data_dir": args.data_dir, "test_dir": args.test_data_dir or args.data_dir,
         "train_sampling": args.train_sampling, "val_sampling": args.val_sampling,
         "test_sampling": args.test_sampling, "num_frames": num_frames,

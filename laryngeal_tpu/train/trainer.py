@@ -93,6 +93,7 @@ class Trainer:
         # pp.py); plain replication otherwise.
         self.tp = mesh is not None and mesh.shape.get("model", 1) > 1
         self.pp = bool(getattr(model, "is_pipelined", False))
+        self.fsdp = mesh is not None and bool(config.get("fsdp"))
         if self.tp:
             from ..parallel.tp import shard_train_state
 
@@ -101,21 +102,26 @@ class Trainer:
             from ..parallel.pp import shard_pp_state
 
             self.state = shard_pp_state(self.state, mesh)
+        elif self.fsdp:
+            from ..parallel.fsdp import shard_train_state_fsdp
+
+            self.state = shard_train_state_fsdp(self.state, mesh)
         elif mesh is not None:
             from ..parallel.mesh import replicate
 
             self.state = replicate(mesh, self.state)
 
-        # tp and pp both carry non-replicated state shardings that must
+        # tp, pp and fsdp all carry non-replicated state shardings that must
         # propagate through the step instead of being forced to replicate.
+        free_state = self.tp or self.pp or self.fsdp
         self.train_step = make_train_step(
             model, spec.preprocess_regime, spec.loss, self.pos_weight, mesh,
             crop=self.crop, grad_accum=int(config.get("grad_accum_steps", 1)),
-            tp=self.tp or self.pp,
+            tp=free_state,
         )
         self.eval_step = make_eval_step(
             model, spec.preprocess_regime, spec.loss, self.pos_weight, mesh,
-            crop=self.crop, tp=self.tp or self.pp,
+            crop=self.crop, tp=free_state,
         )
 
         # Policies.
