@@ -232,6 +232,11 @@ def run(args) -> dict:
         model_kwargs.update(hidden_size=args.hidden_size or 256,
                             num_layers=args.num_layers or 2,
                             dropout=args.dropout)
+    if args.model == "resnet3d":
+        # Default matches the reference's create_resnet(dropout_rate=0.5)
+        # (resnet50-3d-video/.../models/resnet3d.py:12); settable so the
+        # cross-framework A/B can pin the un-alignable dropout RNG to off.
+        model_kwargs.update(dropout=args.dropout)
     model = create_model(args.model, **model_kwargs)
 
     loaders = create_dataloaders(

@@ -69,6 +69,15 @@ def make_train_step(
     if grad_accum < 1:
         raise ValueError(f"grad_accum must be >= 1, got {grad_accum}")
     data_shard = batch_sharding(mesh) if mesh is not None else None
+    # LARYNGEAL_NO_AUGMENT=1: train with the deterministic eval transforms
+    # (pytorchvideo regime only — the HF regimes are deterministic anyway).
+    # Debug/A-B hook: cross-framework comparisons (scripts/reference_ab.py)
+    # cannot align torch and jax augmentation RNG streams, so both sides
+    # pin the deterministic pipeline instead; read once at factory time.
+    import os
+
+    augment = regime == "pytorchvideo" and os.environ.get(
+        "LARYNGEAL_NO_AUGMENT") != "1"
 
     def _forward_loss(params, stats, has_bn, clips, labels_m, mask_m, drng):
         variables = {"params": params}
@@ -93,7 +102,7 @@ def make_train_step(
 
         if grad_accum == 1:
             clips = batch_preprocess(
-                pixel_u8, regime, train=(regime == "pytorchvideo"), key=aug_rng,
+                pixel_u8, regime, train=augment, key=aug_rng,
                 crop=crop,
             )
             (loss_val, (logits, new_stats)), grads = jax.value_and_grad(
@@ -132,7 +141,7 @@ def make_train_step(
                 px_i, lb_i, mk_i, i = xs
                 px_i = _constrain(px_i, data_shard)
                 clips = batch_preprocess(
-                    px_i, regime, train=(regime == "pytorchvideo"),
+                    px_i, regime, train=augment,
                     key=jax.random.fold_in(aug_rng, i), crop=crop,
                 )
                 (loss_i, (logits_i, stats)), grads_i = jax.value_and_grad(

@@ -267,9 +267,70 @@ def write_report(results: dict, path: Path, epochs: int):
         "saves history only inside the best-model checkpoint "
         "(trainer.py:291-305), i.e. through the selected best epoch.",
         "",
+        "resnet3d methodology (the CNN family has no cv2 fallback and "
+        "hard-uses pytorchvideo, absent here): the stub package implements "
+        "the real contracts — cv2-backed EncodedVideo, torch transforms, "
+        "and a plain-torch slow-R50 `create_resnet` whose state dict ports "
+        "at 5e-8 logit parity (tests/test_resnet3d_parity.py pins the same "
+        "network). Disclosed A/B controls: (1) clips have exactly "
+        "num_frames frames at the assumed 30 fps so the reference's "
+        "index->seconds->subsample round trip (dataset.py:221-231) is the "
+        "identity; (2) torch-vs-jax augmentation/dropout RNG streams cannot "
+        "be aligned, so LARYNGEAL_STUB_DETERMINISTIC=1 pins the reference's "
+        "random transforms to the deterministic eval pipeline and our side "
+        "trains with LARYNGEAL_NO_AUGMENT=1 / --dropout 0; (3) the stub "
+        "Normalize folds in the /255 the reference's own inference paths "
+        "apply (inference.py:167,383) but its train transform omits.",
+        "",
     ]
     for variant, cmp_ in results.items():
         lines += [f"## {variant}", ""]
+        if cmp_.get("inference_only"):
+            lines += [
+                "Inference A/B (the swin family's train CLI has no "
+                "eval-only mode; its `inference.py` is run UNMODIFIED per "
+                "test video vs our `cli.inference`, identical injected "
+                "weights, uniform sampling — deterministic). Training "
+                "dynamics are pinned step-level in "
+                "tests/test_swin3d_train_parity.py.",
+                "",
+                "| video | ref class | ours class | ref conf | ours conf |",
+                "|---|---|---|---|---|",
+            ]
+            for r in cmp_["videos"]:
+                lines.append(
+                    f"| {r['video']} | {r['ref_class']} | {r['ours_class']} "
+                    f"| {r['ref_confidence']:.4f} | "
+                    f"{r['ours_confidence']:.4f} |")
+            lines += [
+                "",
+                f"- all predicted classes match: "
+                f"{cmp_['all_classes_match']}; max |Δ| confidence: "
+                f"{cmp_['max_confidence_delta']}",
+                "",
+            ]
+            continue
+        if cmp_.get("eval_only"):
+            lines += [
+                "Eval-mode A/B (the reference's own --checkpoint_path "
+                "loop: decode -> eval transforms -> model -> sklearn "
+                "metrics), identical injected weights. Deterministic — no "
+                "RNG caveats. Training dynamics for this family are pinned "
+                "step-level in tests/test_lstm_train_parity.py.",
+                "",
+                f"- test accuracy: ref {cmp_['test_accuracy_ref']} vs ours "
+                f"{cmp_['test_accuracy_ours']}; AUROC: ref "
+                f"{cmp_['test_auroc_ref']} vs ours {cmp_['test_auroc_ours']}; "
+                f"F1: ref {cmp_['test_f1_score_ref']} vs ours "
+                f"{cmp_['test_f1_score_ours']}",
+                f"- confusion matrix ref {cmp_['confusion_matrix_ref']} vs "
+                f"ours {cmp_['confusion_matrix_ours']} "
+                f"(prediction flips: {cmp_['pred_flips']})",
+            ]
+            if cmp_.get("notes"):
+                lines.append(f"- {cmp_['notes']}")
+            lines.append("")
+            continue
         lines += ["| epoch | ref train loss | ours train loss | ref val loss "
                   "| ours val loss |", "|---|---|---|---|---|"]
         for i in range(cmp_["epochs"]):
@@ -298,8 +359,364 @@ def write_report(results: dict, path: Path, epochs: int):
     path.write_text("\n".join(lines))
 
 
+def make_resnet3d_dataset(root: Path) -> Path:
+    """Clips with EXACTLY num_frames frames at the dataset's assumed 30 fps:
+    uniform sampling then selects every frame, so the reference's
+    index->seconds->get_clip->UniformTemporalSubsample round trip
+    (``resnet50-3d-video/.../dataset.py:221-231``, a resampling quirk our
+    exact-index pipeline deliberately does not replicate) collapses to the
+    identity and both sides consume identical frames. The samplers
+    themselves are pinned separately (tests/test_samplers.py)."""
+    from laryngeal_tpu.data.synthetic import make_synthetic_dataset
+
+    return make_synthetic_dataset(
+        str(root), {"train": 4, "val": 2, "test": 4}, num_frames=NUM_FRAMES,
+        h=IMAGE, w=IMAGE, fps=30.0, seed=13, varied_lengths=False)
+
+
+def make_resnet3d_weights(out_dir: Path, seed: int = 0) -> Path:
+    """Seeded slow-R50 state dict via the stub's create_resnet (pytorchvideo
+    naming) — injected into the unmodified reference through
+    LARYNGEAL_STUB_RESNET_INIT and into our CLI through --torch_weights."""
+    import torch
+
+    out_dir.mkdir(parents=True, exist_ok=True)
+    sys.path.insert(0, str(STUBS))
+    try:
+        from pytorchvideo.models.resnet import create_resnet
+
+        torch.manual_seed(seed)
+        model = create_resnet(model_depth=50, model_num_class=2,
+                              dropout_rate=0.0, input_channel=3)
+        sd_path = out_dir / "sd.pth"
+        torch.save(model.state_dict(), sd_path)
+        return sd_path
+    finally:
+        sys.path.remove(str(STUBS))
+        for mod in [m for m in sys.modules if m.startswith("pytorchvideo")]:
+            del sys.modules[mod]
+
+
+def run_reference_resnet3d(data_dir: Path, sd_path: Path, workdir: Path,
+                           epochs: int, timeout_s: int = 3600) -> dict:
+    """The unmodified ``resnet50-3d-video/main.py``: full slow-R50, Adam,
+    loss+acc-threshold model selection, clip-averaged eval. Its dataset has
+    NO cv2 fallback, so the stub EncodedVideo decodes for real
+    (LARYNGEAL_STUB_DECODE=1), and LARYNGEAL_STUB_DETERMINISTIC=1 pins the
+    un-alignable torch augmentation/dropout RNG (disclosed in the report)."""
+    logs = workdir / "ref_resnet3d_logs"
+    models = workdir / "ref_resnet3d_models"
+    env = os.environ.copy()
+    env["PYTHONPATH"] = os.pathsep.join(
+        [str(REFERENCE / "resnet50-3d-video"), str(STUBS)]
+        + ([env["PYTHONPATH"]] if env.get("PYTHONPATH") else []))
+    env.update(MPLBACKEND="Agg", CUDA_VISIBLE_DEVICES="",
+               LARYNGEAL_STUB_DECODE="1", LARYNGEAL_STUB_DETERMINISTIC="1",
+               LARYNGEAL_STUB_RESNET_INIT=str(sd_path))
+
+    cmd = [sys.executable, str(REFERENCE / "resnet50-3d-video" / "main.py"),
+           "--data_dir", str(data_dir),
+           "--log_dir", str(logs), "--model_dir", str(models),
+           "--num_frames", str(NUM_FRAMES), "--batch_size", str(BATCH),
+           "--epochs", str(epochs), "--num_workers", "0",
+           "--patience", "99", "--learning_rate", "0.001", "--seed", "42"]
+    proc = subprocess.run(cmd, cwd=str(workdir), env=env, timeout=timeout_s,
+                          capture_output=True, text=True)
+    if proc.returncode != 0:
+        raise RuntimeError(
+            f"reference resnet3d failed (rc={proc.returncode}):\n"
+            f"--- stdout ---\n{proc.stdout[-4000:]}\n"
+            f"--- stderr ---\n{proc.stderr[-4000:]}")
+
+    import torch
+
+    exp_dir = _newest(logs, "resnet50-3d-training-*")
+    metrics = json.loads((exp_dir / "test_metrics.json").read_text())
+    ckpt = torch.load(_newest(models, "*_resnet50_best_model.pth"),
+                      map_location="cpu", weights_only=False)
+    # _save_best_model runs inside the val phase BEFORE that epoch's history
+    # append (trainer.py:162-176), so the persisted history covers epochs
+    # [0, ckpt_epoch) — the comparable prefix.
+    return {"history": ckpt["history"], "best_epoch": int(ckpt["epoch"]),
+            "metrics": metrics, "exp_dir": str(exp_dir)}
+
+
+def run_ours_resnet3d(data_dir: Path, sd_path: Path, workdir: Path,
+                      epochs: int, timeout_s: int = 3600) -> dict:
+    logs = workdir / "ours_resnet3d_logs"
+    argv = ["--model", "resnet3d", "--data_dir", str(data_dir),
+            "--log_dir", str(logs),
+            "--num_frames", str(NUM_FRAMES), "--batch_size", str(BATCH),
+            "--epochs", str(epochs), "--patience", "99",
+            "--torch_weights", str(sd_path), "--dropout", "0.0",
+            "--learning_rate", "0.001", "--seed", "42"]
+    code = ("import jax; jax.config.update('jax_platforms', 'cpu'); "
+            "from laryngeal_tpu.cli.main import main; "
+            f"main({argv!r})")
+    env = os.environ.copy()
+    env["PYTHONPATH"] = os.pathsep.join(
+        [str(REPO)] + ([env["PYTHONPATH"]] if env.get("PYTHONPATH") else []))
+    env.update(MPLBACKEND="Agg", LARYNGEAL_PRETRAINED="0",
+               JAX_PLATFORMS="cpu", LARYNGEAL_NO_AUGMENT="1")
+    proc = subprocess.run([sys.executable, "-c", code], cwd=str(workdir),
+                          env=env, timeout=timeout_s, capture_output=True,
+                          text=True)
+    if proc.returncode != 0:
+        raise RuntimeError(
+            f"ours resnet3d failed (rc={proc.returncode}):\n"
+            f"--- stdout ---\n{proc.stdout[-4000:]}\n"
+            f"--- stderr ---\n{proc.stderr[-4000:]}")
+
+    exp_dir = _newest(logs, "resnet3d-classifier-*")
+    history = json.loads((exp_dir / "training_history.json").read_text())
+    metrics = json.loads((exp_dir / "test_metrics_uniform.json").read_text())
+    best = json.loads((exp_dir / "best_model" / "metadata.json").read_text())
+    return {"history": history, "best_epoch": int(best["epoch"]),
+            "metrics": metrics, "exp_dir": str(exp_dir)}
+
+
+def make_lstm_weights(out_dir: Path) -> Path:
+    """Seeded full VideoResNet50LSTM state dict, built by importing the
+    REFERENCE's own model class (``resnet50-2d-lstm/src/models/model.py``)
+    with the torchvision stub on path — zero reimplementation drift; the
+    trunk is random (weights download ignored by the stub, fine for
+    eval-mode A/B where the checkpoint overrides everything)."""
+    out_dir.mkdir(parents=True, exist_ok=True)
+    sd_path = out_dir / "lstm_sd.pth"
+    code = ("import torch; torch.manual_seed(0); "
+            "from src.models.model import VideoResNet50LSTM; "
+            "m = VideoResNet50LSTM(hidden_size=256, num_layers=2, dropout=0.5); "
+            # BN running stats default to (0, 1); perturb so eval-mode
+            # normalization is non-trivial (same trick as the parity tests).
+            "import torch.nn as nn\n"
+            "with torch.no_grad():\n"
+            "    for mod in m.modules():\n"
+            "        if isinstance(mod, nn.BatchNorm2d):\n"
+            "            mod.running_mean.normal_(0, 0.05)\n"
+            "            mod.running_var.uniform_(0.7, 1.4)\n"
+            f"torch.save(m.state_dict(), {str(sd_path)!r})\n")
+    env = os.environ.copy()
+    env["PYTHONPATH"] = os.pathsep.join(
+        [str(REFERENCE / "resnet50-2d-lstm"), str(STUBS)])
+    proc = subprocess.run([sys.executable, "-c", code], env=env,
+                          capture_output=True, text=True, timeout=300)
+    if proc.returncode != 0:
+        raise RuntimeError(f"lstm weight build failed:\n{proc.stderr[-2000:]}")
+    return sd_path
+
+
+def run_reference_lstm_eval(data_dir: Path, sd_path: Path, workdir: Path,
+                            timeout_s: int = 3600) -> dict:
+    """The unmodified ``resnet50-2d-lstm/main.py`` in its own eval-only mode
+    (--checkpoint_path, main.py:180-183): decode -> eval transforms -> model
+    -> full sklearn metric suite -> test_metrics.json. Eval is deterministic
+    (no augmentation/dropout/shuffle), so this A/B has no RNG caveats."""
+    logs = workdir / "ref_lstm_logs"
+    models = workdir / "ref_lstm_models"
+    env = os.environ.copy()
+    env["PYTHONPATH"] = os.pathsep.join(
+        [str(REFERENCE / "resnet50-2d-lstm"), str(STUBS)]
+        + ([env["PYTHONPATH"]] if env.get("PYTHONPATH") else []))
+    env.update(MPLBACKEND="Agg", CUDA_VISIBLE_DEVICES="",
+               LARYNGEAL_STUB_DECODE="1")
+    cmd = [sys.executable, str(REFERENCE / "resnet50-2d-lstm" / "main.py"),
+           "--data_dir", str(data_dir),
+           "--log_dir", str(logs), "--model_dir", str(models),
+           "--sequence_length", str(NUM_FRAMES),
+           "--batch_size", str(BATCH), "--num_workers", "0",
+           "--checkpoint_path", str(sd_path)]
+    proc = subprocess.run(cmd, cwd=str(workdir), env=env, timeout=timeout_s,
+                          capture_output=True, text=True)
+    if proc.returncode != 0:
+        raise RuntimeError(
+            f"reference resnet50_lstm failed (rc={proc.returncode}):\n"
+            f"--- stdout ---\n{proc.stdout[-4000:]}\n"
+            f"--- stderr ---\n{proc.stderr[-4000:]}")
+    exp_dir = _newest(logs, "resnet50_lstm_enhanced_*")
+    metrics = json.loads((exp_dir / "test_metrics.json").read_text())
+    return {"metrics": metrics, "exp_dir": str(exp_dir)}
+
+
+def run_ours_lstm_eval(data_dir: Path, sd_path: Path, workdir: Path,
+                       timeout_s: int = 3600) -> dict:
+    logs = workdir / "ours_lstm_logs"
+    argv = ["--model", "resnet50_lstm", "--data_dir", str(data_dir),
+            "--log_dir", str(logs),
+            "--num_frames", str(NUM_FRAMES), "--batch_size", str(BATCH),
+            "--torch_weights", str(sd_path), "--skip_train",
+            "--epochs", "1", "--seed", "42"]
+    code = ("import jax; jax.config.update('jax_platforms', 'cpu'); "
+            "from laryngeal_tpu.cli.main import main; "
+            f"main({argv!r})")
+    env = os.environ.copy()
+    env["PYTHONPATH"] = os.pathsep.join(
+        [str(REPO)] + ([env["PYTHONPATH"]] if env.get("PYTHONPATH") else []))
+    env.update(MPLBACKEND="Agg", LARYNGEAL_PRETRAINED="0",
+               JAX_PLATFORMS="cpu")
+    proc = subprocess.run([sys.executable, "-c", code], cwd=str(workdir),
+                          env=env, timeout=timeout_s, capture_output=True,
+                          text=True)
+    if proc.returncode != 0:
+        raise RuntimeError(
+            f"ours resnet50_lstm failed (rc={proc.returncode}):\n"
+            f"--- stdout ---\n{proc.stdout[-4000:]}\n"
+            f"--- stderr ---\n{proc.stderr[-4000:]}")
+    exp_dir = _newest(logs, "resnet50_lstm-classifier-*")
+    metrics = json.loads((exp_dir / "test_metrics_uniform.json").read_text())
+    return {"metrics": metrics, "exp_dir": str(exp_dir)}
+
+
+def compare_eval(ref: dict, ours: dict, notes: str = "") -> dict:
+    """Metrics-only comparison for eval-mode A/Bs (no training history)."""
+    import numpy as np
+
+    out = {"eval_only": True, "notes": notes}
+    rm, om = ref["metrics"], ours["metrics"]
+    for k in ("accuracy", "f1_score", "precision", "recall", "auroc"):
+        out[f"test_{k}_ref"] = round(float(rm.get(k, float("nan"))), 6)
+        out[f"test_{k}_ours"] = round(float(om.get(k, float("nan"))), 6)
+    cm_r = np.asarray(rm.get("confusion_matrix", []))
+    cm_o = np.asarray(om.get("confusion_matrix", []))
+    out["confusion_matrix_ref"] = cm_r.tolist()
+    out["confusion_matrix_ours"] = cm_o.tolist()
+    out["pred_flips"] = (int(np.abs(cm_r - cm_o).sum()) // 2
+                         if cm_r.shape == cm_o.shape and cm_r.size else None)
+    return out
+
+
+def make_swin_weights(out_dir: Path) -> Path:
+    """Seeded Swin3D-T + replaced 2-class head, built by the REFERENCE's own
+    ``create_model`` (videoswintransformer/.../models/swin3d.py:7-53) with
+    the torchvision stub on path."""
+    out_dir.mkdir(parents=True, exist_ok=True)
+    sd_path = out_dir / "swin_sd.pth"
+    code = ("import torch, logging; torch.manual_seed(0); "
+            "from swin_video_classifier.models.swin3d import create_model; "
+            "m = create_model(logging.getLogger(), model_size='tiny', "
+            "pretrained=False, num_classes=2); "
+            f"torch.save(m.state_dict(), {str(sd_path)!r})")
+    env = os.environ.copy()
+    env["PYTHONPATH"] = os.pathsep.join(
+        [str(REFERENCE / "videoswintransformer"), str(STUBS)])
+    proc = subprocess.run([sys.executable, "-c", code], env=env,
+                          capture_output=True, text=True, timeout=300)
+    if proc.returncode != 0:
+        raise RuntimeError(f"swin weight build failed:\n{proc.stderr[-2000:]}")
+    return sd_path
+
+
+def run_swin_inference_ab(workdir: Path) -> dict:
+    """The swin family has no eval-only training mode, but its
+    ``inference.py`` is a complete pipeline (decode -> transforms -> Swin3D
+    -> prediction JSON). Run it UNMODIFIED per test video against our
+    ``cli.inference`` from identical weights and compare predicted class +
+    confidence per video. Deterministic (eval mode, uniform sampling)."""
+    workdir.mkdir(parents=True, exist_ok=True)
+    data = make_resnet3d_dataset(workdir / "data")
+    sd = make_swin_weights(workdir / "weights")
+
+    # Ours: convert once to an orbax checkpoint, then batch-infer.
+    ckpt = workdir / "ours_ckpt"
+    env = os.environ.copy()
+    env["PYTHONPATH"] = os.pathsep.join(
+        [str(REPO)] + ([env["PYTHONPATH"]] if env.get("PYTHONPATH") else []))
+    env.update(MPLBACKEND="Agg", JAX_PLATFORMS="cpu", LARYNGEAL_PRETRAINED="0")
+    code = ("import jax; jax.config.update('jax_platforms', 'cpu'); "
+            "import sys; sys.argv = ['port_weights', '--model', 'swin3d', "
+            f"'--torch_weights', {str(sd)!r}, '--output', {str(ckpt)!r}, "
+            f"'--num_frames', '{NUM_FRAMES}', '--model_size', 'tiny']; "
+            "import runpy; runpy.run_path("
+            f"{str(REPO / 'scripts' / 'port_weights.py')!r}, "
+            "run_name='__main__')")
+    proc = subprocess.run([sys.executable, "-c", code], env=env,
+                          capture_output=True, text=True, timeout=900)
+    if proc.returncode != 0:
+        raise RuntimeError(f"swin port failed:\n{proc.stderr[-3000:]}")
+
+    videos = sorted((data / "test").rglob("*.mp4"))
+    ref_env = os.environ.copy()
+    ref_env["PYTHONPATH"] = os.pathsep.join(
+        [str(REFERENCE / "videoswintransformer"), str(STUBS)])
+    ref_env.update(MPLBACKEND="Agg", CUDA_VISIBLE_DEVICES="",
+                   LARYNGEAL_STUB_DECODE="1")
+    rows = []
+    for v in videos:
+        ref_logs = workdir / "ref_logs"
+        proc = subprocess.run(
+            [sys.executable,
+             str(REFERENCE / "videoswintransformer" / "inference.py"),
+             "--video_path", str(v), "--model_path", str(sd),
+             "--num_frames", str(NUM_FRAMES), "--log_dir", str(ref_logs)],
+            cwd=str(workdir), env=ref_env, capture_output=True, text=True,
+            timeout=900)
+        if proc.returncode != 0:
+            raise RuntimeError(
+                f"reference swin inference failed on {v.name}:\n"
+                f"{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}")
+        res = json.loads(_newest(
+            ref_logs, f"inference-swin3d-tiny-*/inference_results/"
+            f"{v.stem}_result.json").read_text())
+
+        ours_logs = workdir / "ours_logs"
+        code = ("import jax; jax.config.update('jax_platforms', 'cpu'); "
+                "from laryngeal_tpu.cli.inference import main; "
+                f"main(['--model', 'swin3d', '--model_path', {str(ckpt)!r}, "
+                f"'--video_path', {str(v)!r}, '--num_frames', "
+                f"'{NUM_FRAMES}', '--log_dir', {str(ours_logs)!r}])")
+        proc = subprocess.run([sys.executable, "-c", code], env=env,
+                              capture_output=True, text=True, timeout=900)
+        if proc.returncode != 0:
+            raise RuntimeError(
+                f"ours swin inference failed on {v.name}:\n"
+                f"{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}")
+        ours = json.loads(_newest(
+            ours_logs, f"**/inference_results/{v.stem}_result.json"
+        ).read_text())
+        rows.append({
+            "video": v.name,
+            "ref_class": res["predicted_class"],
+            "ours_class": ours["predicted_class"],
+            # The reference spells it 'non-referral'; ours follows the
+            # training dirs ('non_referral') — normalize for comparison.
+            "class_match": (res["predicted_class"].replace("-", "_")
+                            == ours["predicted_class"].replace("-", "_")),
+            "ref_confidence": round(float(res["confidence"]), 6),
+            "ours_confidence": round(float(ours["confidence"]), 6),
+            "confidence_delta": round(abs(float(res["confidence"])
+                                          - float(ours["confidence"])), 6),
+        })
+    return {"inference_only": True, "videos": rows,
+            "all_classes_match": all(r["class_match"] for r in rows),
+            "max_confidence_delta": max(r["confidence_delta"] for r in rows)}
+
+
 def run_ab(variant: str, workdir: Path, epochs: int = 3) -> dict:
     workdir.mkdir(parents=True, exist_ok=True)
+    if variant == "swin3d":
+        return run_swin_inference_ab(workdir)
+    if variant == "resnet50_lstm":
+        data = make_resnet3d_dataset(workdir / "data")
+        sd = make_lstm_weights(workdir / "weights")
+        ref = run_reference_lstm_eval(data, sd, workdir)
+        ours = run_ours_lstm_eval(data, sd, workdir)
+        return compare_eval(ref, ours, notes=(
+            "Known reference bug (surfaced by this A/B, verified by "
+            "inspection): its per-class metrics block calls "
+            "`accuracy_score(mask, preds[mask] == cls_idx)` with a "
+            "full-length y_true vs a masked y_pred "
+            "(resnet50-2d-lstm/src/evaluators/evaluator.py:131), which "
+            "raises inside the try and the except clause zeroes "
+            "accuracy/precision/recall on EVERY two-class run "
+            "(evaluator.py:142-145) — so the reference's saved accuracy is "
+            "always 0.0. AUROC/F1/confusion matrix are computed before that "
+            "block and must match exactly; our evaluator computes the real "
+            "accuracy."))
+    if variant == "resnet3d":
+        data = make_resnet3d_dataset(workdir / "data")
+        sd = make_resnet3d_weights(workdir / "weights")
+        ref = run_reference_resnet3d(data, sd, workdir, epochs)
+        ours = run_ours_resnet3d(data, sd, workdir, epochs)
+        return compare(ref, ours)
     data = make_dataset(workdir / "data")
     ckpt = make_tiny_checkpoint(workdir / f"tiny_{variant}", variant)
     ref = run_reference(variant, data, ckpt, workdir, epochs)
@@ -310,14 +727,17 @@ def run_ab(variant: str, workdir: Path, epochs: int = 3) -> dict:
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--variant", default="both",
-                    choices=["vivit", "timesformer", "both"])
+                    choices=["vivit", "timesformer", "resnet3d",
+                             "resnet50_lstm", "swin3d", "both", "all"])
     ap.add_argument("--workdir", default="/tmp/laryngeal_ab")
     ap.add_argument("--epochs", type=int, default=3)
     ap.add_argument("--report", default=str(REPO / "AB_REPORT.md"))
     args = ap.parse_args()
 
-    variants = (["vivit", "timesformer"] if args.variant == "both"
-                else [args.variant])
+    variants = {"both": ["vivit", "timesformer"],
+                "all": ["vivit", "timesformer", "resnet3d",
+                        "resnet50_lstm", "swin3d"]}.get(
+                    args.variant, [args.variant])
     results = {}
     for v in variants:
         print(f"=== A/B {v} ===", flush=True)
