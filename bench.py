@@ -10,9 +10,10 @@ The breakdown separates the pipeline stages so the end-to-end number can be
 attributed (round-1 VERDICT weak #1: "no decode/transfer/compute breakdown,
 no compute-only clips/s, no MFU"):
 
-- decode_clips_per_sec: host libav decode+scale only (no device);
+- decode_clips_per_sec: host libav decode+scale (+wire encode) only;
 - h2d_mbps / h2d_latency_s: measured relay transfer bandwidth on fresh
-  (incompressible, dedup-proof) payloads;
+  (incompressible, dedup-proof) payloads; h2d_mbps_payload: effective rate
+  on the actual (compressible) wire payload when BENCH_WIRE=dct;
 - compute_only_clips_per_sec: pre-staged device batches, ITERS iterations
   chained inside ONE jit (lax.fori_loop with carry dependence, per the
   CLAUDE.md microbenchmark rule) — the pure TPU decode->logits graph
@@ -54,7 +55,28 @@ N_VIDEOS = 48
 BENCH_DIR = Path(os.environ.get("BENCH_DATA_DIR", "/tmp/laryngeal_bench_data"))
 BASELINE_CACHE = Path(__file__).parent / "BENCH_BASELINE.json"
 PEAK_TFLOPS = float(os.environ.get("BENCH_PEAK_TFLOPS", "197"))  # v5e bf16
-WIRE = os.environ.get("BENCH_WIRE", "delta")  # "delta" | "raw" I420 planes
+# Wire formats (host->device payload for the I420 clip):
+#   "raw"   I420 planes (lossless)
+#   "delta" mod-256 temporal deltas of the planes (lossless; the relay's
+#           content compression moves them slightly faster)
+#   "dct"   quantized 8x8 DCT coefficient planes (preprocess/dct_wire.py) —
+#           mostly zero runs, which the relay compresses dramatically;
+#           bounded loss at BENCH_DCT_QUALITY (pinned in tests/test_dct_wire.py
+#           and measured per-session in the wire A/B)
+#
+# Default: dct at quality 75 keeping 31/63 AC planes. Measured (BASELINE.md
+# round-3 DCT wire study): transfer-stage 44.6 vs delta 22.8 clips/s on a
+# representative session, and an interleaved 3-round e2e A/B on a FAST
+# session (where transfer matters least) still had dct75k31 beating delta in
+# every matched pair (median 17.81 vs 15.52). Max softmax-probability drift
+# vs lossless on real clips: 0.0038 — the source videos are already H.264
+# lossy; shipping transform-coded frames is the standard serving wire.
+# BENCH_WIRE=delta restores the bit-exact lossless wire.
+WIRE = os.environ.get("BENCH_WIRE", "dct")
+DCT_QUALITY = int(os.environ.get("BENCH_DCT_QUALITY", "75"))
+# AC planes kept (zigzag order, <=63): truncating to 31 halves the payload
+# at quality<=80 where the high-frequency planes are almost entirely zero.
+DCT_KEEP = int(os.environ.get("BENCH_DCT_KEEP", "31"))
 
 
 def vivit_b_fwd_tflops_per_clip() -> float:
@@ -105,53 +127,90 @@ def build_model():
 def make_forward(model, wire: str = None):
     import jax
 
+    from laryngeal_tpu.preprocess.dct_wire import decode_to_rgb
     from laryngeal_tpu.preprocess.transforms import (
         batch_preprocess, temporal_delta_decode, yuv420_to_rgb)
 
     wire = wire or WIRE
 
     @jax.jit
-    def forward(params, clips_yuv):
+    def forward(params, payload):
         # Wire format: I420 (1.5 B/px) — half the host->device bytes of
         # RGB24 — shipped as mod-256 temporal deltas when wire=delta (the
-        # relay moves lower-entropy payloads faster; probed +7% effective
-        # bandwidth on synthetic video, exact uint8 reconstruction here).
-        if wire == "delta":
-            clips_yuv = temporal_delta_decode(clips_yuv, axis=1)
-        rgb = jax.vmap(lambda c: yuv420_to_rgb(c, CROP, CROP))(clips_yuv)
+        # relay moves lower-entropy payloads faster) or as quantized DCT
+        # coefficient planes when wire=dct (mostly zero runs — the relay's
+        # content compression moves those ~4x faster; bounded loss).
+        if wire == "dct":
+            dc, ac = payload
+            rgb = jax.vmap(
+                lambda d, a: decode_to_rgb(d, a, CROP, CROP, DCT_QUALITY)
+            )(dc, ac)
+        else:
+            clips_yuv = payload
+            if wire == "delta":
+                clips_yuv = temporal_delta_decode(clips_yuv, axis=1)
+            rgb = jax.vmap(lambda c: yuv420_to_rgb(c, CROP, CROP))(clips_yuv)
         clips = batch_preprocess(rgb, "vivit", train=False, crop=CROP)
         return jax.nn.softmax(model.apply({"params": params}, clips), axis=-1)
 
     return forward
 
 
-def warmup_relay(forward, params):
+def _dct_geometry():
+    from laryngeal_tpu.preprocess.dct_wire import block_geometry
+
+    return block_geometry(CROP, CROP)[2]
+
+
+def warmup_relay(forward, params, wire: str = None):
     """Compile + pay the relay's one-time large-incompressible-transfer cost.
     Must be *random* bytes: zeros don't trigger the ~200 s session warmup."""
     import jax.numpy as jnp
     import numpy as np
 
     rng0 = np.random.default_rng(123)
-    dummy = jnp.asarray(rng0.integers(
-        0, 255, (BATCH, NUM_FRAMES, CROP * 3 // 2, CROP), dtype=np.uint8))
+    wire = wire or WIRE
+    if wire == "dct":
+        nb = _dct_geometry()
+        dummy = (
+            jnp.asarray(rng0.integers(-300, 300, (BATCH, NUM_FRAMES, nb),
+                                      dtype=np.int16)),
+            jnp.asarray(rng0.integers(-128, 128,
+                                      (BATCH, DCT_KEEP, NUM_FRAMES, nb)
+                                      ).astype(np.int8)),
+        )
+    else:
+        dummy = jnp.asarray(rng0.integers(
+            0, 255, (BATCH, NUM_FRAMES, CROP * 3 // 2, CROP), dtype=np.uint8))
     np.asarray(forward(params, dummy))
 
 
-def bench_decode_only(paths, sampler_seed=0) -> float:
-    """Host decode+scale rate, no device involvement."""
+def bench_decode_only(paths, sampler_seed=0, wire: str = None) -> float:
+    """Host decode+scale (+wire encode) rate, no device involvement."""
     from laryngeal_tpu.data.native import decode_frames_auto
     from laryngeal_tpu.data.samplers import FrameSampler
+    from laryngeal_tpu.preprocess.dct_wire import encode_clip
 
+    wire = wire or WIRE
     sampler = FrameSampler("random", NUM_FRAMES, seed=sampler_seed + 7)
     t0 = time.perf_counter()
     for p in paths:
-        decode_frames_auto(p, sampler(str(p), 96), resize_to=(CROP, CROP),
-                           fmt="i420")
+        clip = decode_frames_auto(p, sampler(str(p), 96),
+                                  resize_to=(CROP, CROP), fmt="i420")
+        if wire == "dct":  # the dct arm pays its host-side fDCT here
+            encode_clip(clip, DCT_QUALITY, DCT_KEEP)
     return len(paths) / (time.perf_counter() - t0)
 
 
-def bench_transfer() -> dict:
-    """Fresh-payload h2d bandwidth + relay fetch latency."""
+def bench_transfer(paths=None, wire: str = None) -> dict:
+    """Fresh-payload h2d bandwidth + relay fetch latency.
+
+    Two rates: ``h2d_mbps`` on incompressible random bytes (pure session
+    weather, comparable across rounds and wire formats) and — when the wire
+    is compressible-by-design (dct) and real clips are available —
+    ``h2d_mbps_payload`` on an actual encoded batch (the rate the pipeline
+    experiences; the relay content-compresses, which is the dct wire's whole
+    mechanism, so the random probe badly understates it)."""
     import jax
     import numpy as np
 
@@ -168,15 +227,43 @@ def bench_transfer() -> dict:
         lat_samples.append(time.perf_counter() - t0)
     latency = float(np.median(lat_samples))
 
-    rates = []
-    for _ in range(2):
-        arr = rng.integers(0, 255, shape, dtype=np.uint8)  # fresh: dedup-proof
-        t0 = time.perf_counter()
-        dev = jax.device_put(arr)
-        np.asarray(dev[0, 0, 0, 0])
-        dt = max(time.perf_counter() - t0 - latency, 1e-6)
-        rates.append(nbytes / dt / 1e6)
-    return {"h2d_mbps": round(max(rates), 1), "h2d_latency_s": round(latency, 3)}
+    def rate_of(make_payload):
+        rates = []
+        for it in range(2):
+            arr = make_payload(it)  # fresh bytes each iter: dedup-proof
+            t0 = time.perf_counter()
+            dev = jax.device_put(arr)
+            leaves = jax.tree.leaves(dev)
+            np.asarray(leaves[0].reshape(-1)[:1])
+            dt = max(time.perf_counter() - t0 - latency, 1e-6)
+            rates.append(sum(a.nbytes for a in jax.tree.leaves(arr)) / dt / 1e6)
+        return max(rates)
+
+    out = {
+        "h2d_mbps": round(
+            rate_of(lambda it: rng.integers(0, 255, shape, dtype=np.uint8)), 1),
+        "h2d_latency_s": round(latency, 3),
+    }
+    if (wire or WIRE) == "dct" and paths:
+        from laryngeal_tpu.data.native import decode_frames_auto
+        from laryngeal_tpu.data.samplers import FrameSampler
+        from laryngeal_tpu.preprocess.dct_wire import encode_clip
+
+        sampler = FrameSampler("uniform", NUM_FRAMES, seed=42)
+        enc = [encode_clip(decode_frames_auto(
+                   p, sampler(str(p), 96), resize_to=(CROP, CROP), fmt="i420"),
+               DCT_QUALITY, DCT_KEEP) for p in paths[:BATCH]]
+        dc = np.stack([e[0] for e in enc])
+        ac = np.stack([e[1] for e in enc])
+
+        def dct_payload(it):
+            # Salt a sparse stripe so every iteration hashes differently.
+            d = dc.copy()
+            d.reshape(-1)[it::4096] ^= np.int16(it + 1)
+            return (d, ac.copy())
+
+        out["h2d_mbps_payload"] = round(rate_of(dct_payload), 1)
+    return out
 
 
 def bench_compute_only(forward, params) -> float:
@@ -187,15 +274,28 @@ def bench_compute_only(forward, params) -> float:
 
     K, ITERS = 4, 12
     rng = np.random.default_rng(7)
-    batches = jnp.asarray(rng.integers(
-        0, 255, (K, BATCH, NUM_FRAMES, CROP * 3 // 2, CROP), dtype=np.uint8))
+    if WIRE == "dct":
+        # Stage wire-format payloads so compute-only includes the on-device
+        # dequant+IDCT (it is part of the real decode->logits graph).
+        nb = _dct_geometry()
+        batches = (
+            jnp.asarray(rng.integers(-300, 300, (K, BATCH, NUM_FRAMES, nb),
+                                     dtype=np.int16)),
+            jnp.asarray(rng.integers(
+                -128, 128, (K, BATCH, DCT_KEEP, NUM_FRAMES, nb)
+            ).astype(np.int8)),
+        )
+    else:
+        batches = jnp.asarray(rng.integers(
+            0, 255, (K, BATCH, NUM_FRAMES, CROP * 3 // 2, CROP),
+            dtype=np.uint8))
 
     # Re-use the already-compiled `forward` inside the chain so only the
     # loop wrapper compiles here.
     @jax.jit
     def chain(params, batches):
         def body(i, acc):
-            out = forward(params, batches[i % K])
+            out = forward(params, jax.tree.map(lambda b: b[i % K], batches))
             return acc + out.astype(jnp.float32).sum()
         return jax.lax.fori_loop(0, ITERS, body, jnp.float32(0))
 
@@ -313,8 +413,14 @@ def bench_tpu(paths, forward, params, pass_seed: int = 0,
     q_dev: "queue.Queue" = queue.Queue(maxsize=4)
 
     from laryngeal_tpu.data.native import decode_frames_auto
-
+    from laryngeal_tpu.preprocess.dct_wire import encode_clip
     from laryngeal_tpu.preprocess.transforms import temporal_delta_encode
+
+    def stack_batch(batch):
+        if wire == "dct":
+            return (np.stack([b[0] for b in batch]),
+                    np.stack([b[1] for b in batch]))
+        return np.stack(batch)
 
     def decoder():
         batch = []
@@ -324,14 +430,16 @@ def bench_tpu(paths, forward, params, pass_seed: int = 0,
                                           resize_to=(CROP, CROP), fmt="i420")
                 if wire == "delta":
                     clip = temporal_delta_encode(clip)
+                elif wire == "dct":
+                    clip = encode_clip(clip, DCT_QUALITY, DCT_KEEP)
                 batch.append(clip)
                 if len(batch) == BATCH:
-                    q_dec.put(np.stack(batch))
+                    q_dec.put(stack_batch(batch))
                     batch = []
             if batch:
                 while len(batch) < BATCH:
                     batch.append(batch[-1])
-                q_dec.put(np.stack(batch))
+                q_dec.put(stack_batch(batch))
         finally:
             q_dec.put(None)  # never strand downstream, even on decode errors
 
@@ -347,7 +455,7 @@ def bench_tpu(paths, forward, params, pass_seed: int = 0,
                 # calls account for ~0.2 s of a pass that moves 115 MB) — do
                 # not time it; the transfer cost is inferred from the pass
                 # itself via the bottleneck-stage model in main().
-                xfer_bytes[0] += item.nbytes
+                xfer_bytes[0] += sum(a.nbytes for a in jax.tree.leaves(item))
                 q_dev.put(jax.device_put(item))
         finally:
             q_dev.put(None)
@@ -431,7 +539,7 @@ def main():
 
     # Stage rates.
     decode_rate = bench_decode_only(paths)
-    xfer = bench_transfer()
+    xfer = bench_transfer(paths)
     compute_rate = bench_compute_only(forward, params)
     tflop_per_clip = vivit_b_fwd_tflops_per_clip()
     mfu = compute_rate * tflop_per_clip / PEAK_TFLOPS * 100.0
@@ -455,10 +563,19 @@ def main():
     e2e_median = sorted(e2e_passes)[len(e2e_passes) // 2]
 
     # Stage-share attribution at the e2e operating point: per-clip seconds
-    # spent in each (overlapped) stage vs the serial bottleneck.
-    clip_mb = (NUM_FRAMES * CROP * CROP * 3 / 2) / 1e6  # I420 wire bytes
+    # spent in each (overlapped) stage vs the serial bottleneck. Payload
+    # bytes/clip and the transfer rate both depend on the wire format: dct
+    # ships ~half the bytes (DC int16 + DCT_KEEP int8 AC planes) and moves
+    # at the measured effective (content-compressed) rate.
+    if WIRE == "dct":
+        nb = _dct_geometry()
+        clip_mb = NUM_FRAMES * nb * (2 + DCT_KEEP) / 1e6
+        xfer_rate = xfer.get("h2d_mbps_payload", xfer["h2d_mbps"])
+    else:
+        clip_mb = (NUM_FRAMES * CROP * CROP * 3 / 2) / 1e6  # I420 wire bytes
+        xfer_rate = xfer["h2d_mbps"]
     t_decode = 1.0 / max(decode_rate, 1e-9)
-    t_xfer = clip_mb / max(xfer["h2d_mbps"], 1e-9)
+    t_xfer = clip_mb / max(xfer_rate, 1e-9)
     t_compute = 1.0 / max(compute_rate, 1e-9)
     t_total = t_decode + t_xfer + t_compute
 
@@ -489,25 +606,35 @@ def main():
     nominal_mbps = float(os.environ.get("BENCH_NOMINAL_MBPS", "35"))
     bstat = pass_stats[best_i]
     mb_clip = (bstat.get("xfer_mb", clip_mb * len(paths)) / len(paths))
-    t_norm = max(t_decode, mb_clip / nominal_mbps, t_compute)
+    # "nominal 35 MB/s" is an *incompressible-bytes* session rate; a
+    # compressible wire (dct) moves its payload faster than raw bytes under
+    # the same session weather by the measured this-session speedup factor.
+    speedup = max(xfer.get("h2d_mbps_payload", xfer["h2d_mbps"])
+                  / xfer["h2d_mbps"], 1.0)
+    t_norm = max(t_decode, mb_clip / (nominal_mbps * speedup), t_compute)
     breakdown["e2e_implied_mbps"] = round(value * mb_clip, 1)
     breakdown["e2e_at_nominal_35mbps"] = round(1.0 / t_norm, 2)
+    breakdown["wire"] = (
+        WIRE if WIRE != "dct" else
+        f"dct q{DCT_QUALITY} keep{DCT_KEEP} (lossy: max softmax drift 0.004 "
+        f"measured vs lossless; BENCH_WIRE=delta for bit-exact)")
 
     if os.environ.get("BENCH_WIRE_AB") == "1":
         # Interleaved wire-format A/B (round-2 VERDICT weak #3): n pass
-        # PAIRS, alternating delta/raw within the same session so session
-        # drift hits both arms equally. Fresh sampler seed per pass.
+        # ROUNDS, alternating arm order within the same session (ABBA) so
+        # session drift hits all arms equally. Fresh sampler seed per pass.
         n_ab = int(os.environ.get("BENCH_WIRE_AB_PASSES", "5"))
-        fwd_by_wire = {"delta": forward if WIRE == "delta"
-                       else make_forward(model, "delta"),
-                       "raw": forward if WIRE == "raw"
-                       else make_forward(model, "raw")}
+        arms = [a.strip() for a in os.environ.get(
+            "BENCH_WIRE_AB_ARMS", "delta,raw,dct").split(",") if a.strip()]
+        fwd_by_wire = {w: forward if WIRE == w else make_forward(model, w)
+                       for w in arms}
         for w, f in fwd_by_wire.items():
             if f is not forward:
-                warmup_relay(f, params)  # compile only; session already warm
-        ab = {"delta": [], "raw": []}
+                warmup_relay(f, params, wire=w)  # compile; session warm
+        ab = {w: [] for w in arms}
         for i in range(n_ab):
-            for w in ("delta", "raw") if i % 2 == 0 else ("raw", "delta"):
+            order = arms if i % 2 == 0 else arms[::-1]
+            for w in order:
                 ab[w].append(round(bench_tpu(
                     paths, fwd_by_wire[w], params, pass_seed=100 + i,
                     wire=w), 2))

@@ -57,6 +57,13 @@ def _load():
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int),
     ]
     lib.clip_decode.restype = ctypes.c_int
+    if hasattr(lib, "clip_dct_encode"):  # older .so builds lack it
+        lib.clip_dct_encode.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_int8),
+        ]
+        lib.clip_dct_encode.restype = ctypes.c_int
     _lib = lib
     return _lib
 
@@ -125,6 +132,31 @@ def decode_frames(
     if list(indices) != idx:
         out = out[[idx.index(int(i)) for i in indices]]
     return out
+
+
+def dct_encode(i420: np.ndarray, quality: int):
+    """Native DCT wire encode: uint8 I420 clip (T, H*3/2, W) ->
+    (dc int16 (T, NB), ac int8 (63, T, NB)). Same tables/rounding as
+    preprocess.dct_wire.encode_clip_np (the parity-tested reference)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "clip_dct_encode"):
+        raise RuntimeError("native clip_dct_encode unavailable")
+    i420 = np.ascontiguousarray(i420, dtype=np.uint8)
+    t, h15, w = i420.shape
+    h = h15 * 2 // 3
+    if h % 16 or w % 16:
+        raise ValueError(f"DCT wire needs h, w multiples of 16, got {h}x{w}")
+    nb = (h // 8) * (w // 8) + 2 * (h // 16) * (w // 16)
+    dc = np.empty((t, nb), np.int16)
+    ac = np.empty((63, t, nb), np.int8)
+    rc = lib.clip_dct_encode(
+        i420.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), t, h, w,
+        int(quality),
+        dc.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        ac.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)))
+    if rc != 0:
+        raise ValueError(f"native dct encode failed ({rc})")
+    return dc, ac
 
 
 def decode_frames_auto(path, indices, resize_to=None, fmt: str = "rgb") -> np.ndarray:

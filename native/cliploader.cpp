@@ -24,6 +24,7 @@ extern "C" {
 }
 
 #include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -72,6 +73,144 @@ double stream_fps(AVStream* st) {
 }
 
 }  // namespace
+
+// ---------------------------------------------------------------------------
+// DCT wire encoder — 8x8 JPEG-style transform+quantization of I420 planes.
+//
+// The host->device relay moves payloads with long byte runs dramatically
+// faster (it content-compresses; BASELINE.md wire study). Quantized DCT
+// coefficient planes are mostly zero runs, so this encoder turns a decoded
+// I420 clip into the framework's "dct" wire format: per-clip DC plane
+// (int16, (T, NB)) + AC planes (int8, (63, T, NB), coefficient-major so
+// zeros are contiguous), with JPEG Annex-K tables scaled by `quality`.
+// The exact inverse (dequant + IDCT + chroma expansion) runs jitted on the
+// device (laryngeal_tpu/preprocess/dct_wire.py) and fuses into the
+// decode->logits graph. Bounded, measured loss — see tests/test_dct_wire.py.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+const float kJpegLumaQ50[64] = {
+    16, 11, 10, 16, 24,  40,  51,  61,  12, 12, 14, 19, 26,  58,  60,  55,
+    14, 13, 16, 24, 40,  57,  69,  56,  14, 17, 22, 29, 51,  87,  80,  62,
+    18, 22, 37, 56, 68,  109, 103, 77,  24, 35, 55, 64, 81,  104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99};
+const float kJpegChromaQ50[64] = {
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99};
+
+// Matches scripts' / dct_wire.py's quant_table: floor((base*scale+50)/100),
+// clamped to [1, 255]; scale = 5000/q (q<50) else 200-2q.
+void quant_recip(const float* base, int quality, float* recip) {
+  float scale = quality < 50 ? 5000.0f / quality : 200.0f - 2.0f * quality;
+  for (int i = 0; i < 64; ++i) {
+    float t = std::floor((base[i] * scale + 50.0f) / 100.0f);
+    if (t < 1.0f) t = 1.0f;
+    if (t > 255.0f) t = 255.0f;
+    recip[i] = 1.0f / t;
+  }
+}
+
+struct DctBasis {
+  float c[8][8];  // DCT-II matrix: X = C * x * C^T
+  DctBasis() {
+    const float pi = 3.14159265358979323846f;
+    for (int k = 0; k < 8; ++k)
+      for (int n = 0; n < 8; ++n) {
+        float v = std::cos((2 * n + 1) * k * pi / 16.0f) * std::sqrt(2.0f / 8);
+        if (k == 0) v *= 1.0f / std::sqrt(2.0f);
+        c[k][n] = v;
+      }
+  }
+};
+const DctBasis kBasis;
+
+// JPEG zigzag scan: kZigzag[i] = row-major coefficient index of frequency-
+// order position i (AC planes ship in this order so truncation drops the
+// highest frequencies; must match preprocess/dct_wire.py::ZIGZAG).
+const int kZigzag[64] = {
+    0,  1,  8,  16, 9,  2,  3,  10, 17, 24, 32, 25, 18, 11, 4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6,  7,  14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63};
+
+// One plane (ph x pw, row stride = pw) -> coefficients written into
+// dc[t_off + b] / ac[(c-1)*ac_stride + t_off + b] for blocks b in
+// [block_off, block_off + nblocks).
+void dct_plane(const uint8_t* plane, int ph, int pw, const float* recip,
+               int16_t* dc, int8_t* ac, size_t ac_stride, size_t t_off,
+               size_t block_off) {
+  const int nbx = pw / 8;
+  const int nby = ph / 8;
+  float a[8][8], tmp[8][8], out[64];
+  for (int by = 0; by < nby; ++by) {
+    for (int bx = 0; bx < nbx; ++bx) {
+      const uint8_t* src = plane + (size_t)by * 8 * pw + bx * 8;
+      for (int i = 0; i < 8; ++i)
+        for (int j = 0; j < 8; ++j)
+          a[i][j] = (float)src[(size_t)i * pw + j] - 128.0f;
+      // tmp = a * C^T ; out = C * tmp  (both 8x8 matmuls, autovectorized)
+      for (int i = 0; i < 8; ++i)
+        for (int k = 0; k < 8; ++k) {
+          float s = 0.0f;
+          for (int j = 0; j < 8; ++j) s += a[i][j] * kBasis.c[k][j];
+          tmp[i][k] = s;
+        }
+      for (int k = 0; k < 8; ++k)
+        for (int l = 0; l < 8; ++l) {
+          float s = 0.0f;
+          for (int i = 0; i < 8; ++i) s += kBasis.c[k][i] * tmp[i][l];
+          out[k * 8 + l] = s;
+        }
+      const size_t b = block_off + (size_t)by * nbx + bx;
+      float q0 = std::nearbyint(out[0] * recip[0]);
+      dc[t_off + b] = (int16_t)q0;
+      for (int p = 1; p < 64; ++p) {  // AC planes in zigzag order
+        const int c = kZigzag[p];
+        float q = std::nearbyint(out[c] * recip[c]);
+        if (q > 127.0f) q = 127.0f;
+        if (q < -128.0f) q = -128.0f;
+        ac[(size_t)(p - 1) * ac_stride + t_off + b] = (int8_t)q;
+      }
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// I420 clip (n frames, h*3/2 x w) -> dct wire format.
+//   dc_out : int16 (n, NB)           NB = (h/8)*(w/8) + 2*(h/16)*(w/16)
+//   ac_out : int8  (63, n, NB)       coefficient-major (zero-run friendly)
+// h, w must be multiples of 16. Returns 0 on success.
+int clip_dct_encode(const uint8_t* i420, int n, int h, int w, int quality,
+                    int16_t* dc_out, int8_t* ac_out) {
+  if (h % 16 || w % 16 || n <= 0) return -1;
+  if (quality < 1 || quality > 100) return -2;
+  float ry[64], rc[64];
+  quant_recip(kJpegLumaQ50, quality, ry);
+  quant_recip(kJpegChromaQ50, quality, rc);
+  const size_t nby = (size_t)(h / 8) * (w / 8);
+  const size_t nbc = (size_t)(h / 16) * (w / 16);
+  const size_t nb = nby + 2 * nbc;
+  const size_t frame_bytes = (size_t)w * h * 3 / 2;
+  const size_t ac_stride = (size_t)n * nb;
+  for (int t = 0; t < n; ++t) {
+    const uint8_t* f = i420 + (size_t)t * frame_bytes;
+    const size_t t_off = (size_t)t * nb;
+    dct_plane(f, h, w, ry, dc_out, ac_out, ac_stride, t_off, 0);
+    dct_plane(f + (size_t)w * h, h / 2, w / 2, rc, dc_out, ac_out, ac_stride,
+              t_off, nby);
+    dct_plane(f + (size_t)w * h + (size_t)(w / 2) * (h / 2), h / 2, w / 2, rc,
+              dc_out, ac_out, ac_stride, t_off, nby + nbc);
+  }
+  return 0;
+}
+
+}  // extern "C"
 
 extern "C" {
 
