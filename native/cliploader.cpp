@@ -151,29 +151,39 @@ void dct_plane(const uint8_t* plane, int ph, int pw, const float* recip,
       for (int i = 0; i < 8; ++i)
         for (int j = 0; j < 8; ++j)
           a[i][j] = (float)src[(size_t)i * pw + j] - 128.0f;
-      // tmp = a * C^T ; out = C * tmp  (both 8x8 matmuls, autovectorized)
-      for (int i = 0; i < 8; ++i)
-        for (int k = 0; k < 8; ++k) {
-          float s = 0.0f;
-          for (int j = 0; j < 8; ++j) s += a[i][j] * kBasis.c[k][j];
-          tmp[i][k] = s;
+      // tmp = a * C^T ; out = C * tmp. Broadcast-FMA form: the inner loop
+      // runs over the 8-lane OUTPUT axis (one vector FMA per scalar
+      // broadcast) instead of a scalar dot-product reduction.
+      for (int i = 0; i < 8; ++i) {
+        for (int k = 0; k < 8; ++k) tmp[i][k] = a[i][0] * kBasis.c[k][0];
+        for (int j = 1; j < 8; ++j) {
+          const float s = a[i][j];
+          for (int k = 0; k < 8; ++k) tmp[i][k] += s * kBasis.c[k][j];
         }
-      for (int k = 0; k < 8; ++k)
-        for (int l = 0; l < 8; ++l) {
-          float s = 0.0f;
-          for (int i = 0; i < 8; ++i) s += kBasis.c[k][i] * tmp[i][l];
-          out[k * 8 + l] = s;
+      }
+      for (int k = 0; k < 8; ++k) {
+        const float c0 = kBasis.c[k][0];
+        for (int l = 0; l < 8; ++l) out[k * 8 + l] = c0 * tmp[0][l];
+        for (int i = 1; i < 8; ++i) {
+          const float c = kBasis.c[k][i];
+          for (int l = 0; l < 8; ++l) out[k * 8 + l] += c * tmp[i][l];
         }
+      }
       const size_t b = block_off + (size_t)by * nbx + bx;
-      float q0 = std::nearbyint(out[0] * recip[0]);
-      dc[t_off + b] = (int16_t)q0;
-      for (int p = 1; p < 64; ++p) {  // AC planes in zigzag order
-        const int c = kZigzag[p];
-        float q = std::nearbyint(out[c] * recip[c]);
+      // Quantize all 64 coefficients with vectorizable mul+round+clamp
+      // passes; only the 63 zigzag-scattered byte stores stay scalar.
+      float qf[64];
+      int8_t qi[64];
+      for (int c = 0; c < 64; ++c) qf[c] = std::nearbyint(out[c] * recip[c]);
+      for (int c = 0; c < 64; ++c) {
+        float q = qf[c];
         if (q > 127.0f) q = 127.0f;
         if (q < -128.0f) q = -128.0f;
-        ac[(size_t)(p - 1) * ac_stride + t_off + b] = (int8_t)q;
+        qi[c] = (int8_t)q;
       }
+      dc[t_off + b] = (int16_t)qf[0];
+      for (int p = 1; p < 64; ++p)  // AC planes in zigzag order
+        ac[(size_t)(p - 1) * ac_stride + t_off + b] = qi[kZigzag[p]];
     }
   }
 }
