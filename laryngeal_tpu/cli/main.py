@@ -142,6 +142,16 @@ def build_parser(model_default: str = None) -> argparse.ArgumentParser:
                         "pass (jax.checkpoint): ~30%% more FLOPs for O(layers) "
                         "less activation HBM — e.g. TimeSformer at 32 frames "
                         "OOMs at batch 8 without it (transformer families)")
+    p.add_argument("--wire", type=str, default="rgb",
+                   choices=("rgb", "i420", "delta", "dct"),
+                   help="host->device payload format for the training/eval "
+                        "feed: rgb (reference parity), i420 (codec-native "
+                        "4:2:0 planes, half the bytes, lossless vs source), "
+                        "delta (i420 temporal deltas), dct (quantized DCT "
+                        "planes, ~1/4 the bytes, bounded loss) — the decode "
+                        "fuses into the jitted step")
+    p.add_argument("--wire_quality", type=int, default=75,
+                   help="dct wire quantizer quality (1-100)")
     p.add_argument("--no_cache_clips", action="store_true")
     p.add_argument("--clip_cache_mb", type=int, default=2048,
                    help="RAM budget (MiB) for the decoded-clip LRU cache")
@@ -256,6 +266,8 @@ def run(args) -> dict:
         cache_dir=args.clip_cache_dir,
         verify_integrity=args.verify_integrity,
         num_workers=args.decode_workers,
+        wire=args.wire,
+        wire_quality=args.wire_quality,
     )
     for split in ("train", "val", "test"):
         ds = loaders[split].dataset
@@ -366,9 +378,13 @@ def run(args) -> dict:
             for i in range(min(3, len(ds))):
                 item = ds[i]
                 total = ds.video_properties(item["video_path"])[0]
+                # Frame grids need RGB regardless of the feed's wire format;
+                # reuse the drawn indices (no extra sampler-RNG draw).
+                frames = (item["pixel_values"] if ds.wire == "rgb"
+                          else ds.rgb_clip(i, indices=item["frame_indices"]))
                 visualizer.visualize_sampling(
                     item["video_path"], item["frame_indices"], total,
-                    ds.sampling_method, frames=item["pixel_values"],
+                    ds.sampling_method, frames=frames,
                 )
     except Exception as e:
         logger.warning("Sampling visualization failed: %s", e)

@@ -70,6 +70,13 @@ class ClipCache:
     def nbytes(self) -> int:
         return self._bytes
 
+    @staticmethod
+    def _nbytes(clip) -> int:
+        # Entries are arrays or wire-format tuples of arrays (dct wire).
+        if isinstance(clip, tuple):
+            return sum(a.nbytes for a in clip)
+        return clip.nbytes
+
     def get(self, key):
         with self._lock:
             clip = self._store.get(key)
@@ -77,17 +84,18 @@ class ClipCache:
                 self._store.move_to_end(key)
             return clip
 
-    def put(self, key, clip: np.ndarray) -> None:
-        if clip.nbytes > self.max_bytes:
+    def put(self, key, clip) -> None:
+        nbytes = self._nbytes(clip)
+        if nbytes > self.max_bytes:
             return  # one clip over budget: never cache, never evict others
         with self._lock:
             if key in self._store:
-                self._bytes -= self._store.pop(key).nbytes
+                self._bytes -= self._nbytes(self._store.pop(key))
             self._store[key] = clip
-            self._bytes += clip.nbytes
+            self._bytes += nbytes
             while self._bytes > self.max_bytes and self._store:
                 _, evicted = self._store.popitem(last=False)
-                self._bytes -= evicted.nbytes
+                self._bytes -= self._nbytes(evicted)
 
     def clear(self) -> None:
         with self._lock:
@@ -168,12 +176,28 @@ class VideoDataset:
         clip_cache_mb: int = 2048,
         cache_dir=None,
         video_paths: Optional[Sequence[str]] = None,
+        wire: str = "rgb",
+        wire_quality: int = 75,
+        wire_keep_ac: int = 31,
     ):
         self.root_dir = Path(root_dir)
         self.mode = mode
         self.num_frames = int(num_frames)
         self.sampling_method = sampling_method
         self.resize_to = resize_to
+        # Host->device wire format of pixel_values (rgb | i420 | delta |
+        # dct — see preprocess.transforms.decode_wire_batch). Non-rgb wires
+        # decode straight to codec-native 4:2:0 planes (no host RGB pass)
+        # and the clip caches hold the smaller encoded payloads.
+        if wire not in ("rgb", "i420", "delta", "dct"):
+            raise ValueError(f"Unknown wire format {wire!r}")
+        hw_chk = resize_to or (224, 224)
+        if wire != "rgb" and (hw_chk[0] % 16 or hw_chk[1] % 16):
+            raise ValueError(
+                f"wire={wire!r} needs resize_to multiples of 16, got {hw_chk}")
+        self.wire = wire
+        self.wire_quality = int(wire_quality)
+        self.wire_keep_ac = int(wire_keep_ac)
         # Caching decoded clips only pays when the same indices recur:
         # uniform sampling and per-video-seeded samplers are deterministic;
         # stream-seeded stochastic samplers draw fresh indices every epoch,
@@ -256,6 +280,33 @@ class VideoDataset:
             indices = None
         return {"video_path": path, "label": int(label), "frame_indices": indices}
 
+    def _placeholder_clip(self):
+        """Gray placeholder in the configured wire format (robustness
+        contract, vivit dataset.py:370-381)."""
+        hw = self.resize_to or (224, 224)
+        rgb = np.full((self.num_frames, hw[1], hw[0], 3), 127, np.uint8)
+        if self.wire == "rgb":
+            return rgb
+        return self._encode_wire(self._rgb_to_i420(rgb))
+
+    @staticmethod
+    def _rgb_to_i420(rgb: np.ndarray) -> np.ndarray:
+        from .video import rgb_to_yuv420
+
+        return rgb_to_yuv420(rgb)
+
+    def _encode_wire(self, i420: np.ndarray):
+        """I420 clip -> the configured wire payload (identity for i420)."""
+        if self.wire == "delta":
+            from ..preprocess.transforms import temporal_delta_encode
+
+            return temporal_delta_encode(i420)
+        if self.wire == "dct":
+            from ..preprocess.dct_wire import encode_clip
+
+            return encode_clip(i420, self.wire_quality, self.wire_keep_ac)
+        return i420
+
     def materialize(self, plan: Dict) -> Dict:
         """Decode the planned clip. Thread-safe (the clip cache is locked;
         decode touches no shared sampler state) — ClipLoader fans these out
@@ -263,31 +314,36 @@ class VideoDataset:
         ``DataLoader(num_workers=N)`` processes."""
         path, label, indices = (
             plan["video_path"], plan["label"], plan["frame_indices"])
-        hw = self.resize_to or (224, 224)
         # Robustness contract (vivit dataset.py:370-381): any decode failure
         # yields a gray placeholder clip with empty frame_indices, never an
         # exception out of the data path.
         if indices is None:
-            clip = np.full((self.num_frames, hw[1], hw[0], 3), 127, np.uint8)
-            return {"pixel_values": clip, "label": label,
+            return {"pixel_values": self._placeholder_clip(), "label": label,
                     "video_path": path, "frame_indices": []}
 
         key = (path, tuple(indices))
         clip = self._clip_cache.get(key) if self.cache_clips else None
         if clip is None:
-            disk_key = (path, tuple(indices), self.resize_to)
-            if self._disk_cache is not None:
+            # The dct payload is a (dc, ac) tuple — np.save-backed disk
+            # caching covers the dense-array wires only.
+            disk_key = (path, tuple(indices), self.resize_to, self.wire)
+            use_disk = self._disk_cache is not None and self.wire != "dct"
+            if use_disk:
                 clip = self._disk_cache.get(disk_key)
             if clip is None:
                 try:
                     from .native import decode_frames_auto
 
-                    clip = decode_frames_auto(path, indices, resize_to=self.resize_to)
+                    clip = decode_frames_auto(
+                        path, indices, resize_to=self.resize_to,
+                        fmt="rgb" if self.wire == "rgb" else "i420")
+                    if self.wire != "rgb":
+                        clip = self._encode_wire(clip)
                 except Exception as e:
                     logger.warning("Decode failed for %s: %s — placeholder clip",
                                    path, e)
-                    clip = np.full((self.num_frames, hw[1], hw[0], 3), 127, np.uint8)
-                if self._disk_cache is not None:
+                    clip = self._placeholder_clip()
+                if use_disk:
                     self._disk_cache.put(disk_key, clip)
             if self.cache_clips:
                 self._clip_cache.put(key, clip)
@@ -297,6 +353,24 @@ class VideoDataset:
             "video_path": path,
             "frame_indices": list(indices),
         }
+
+    def rgb_clip(self, idx: int, indices=None) -> np.ndarray:
+        """Decoded RGB clip regardless of wire format — visualization only
+        (plots need displayable frames; the training feed ships the wire).
+        Pass ``indices`` from an already-materialized item to avoid drawing
+        the stream-seeded samplers a second time."""
+        hw = self.resize_to or (224, 224)
+        if indices is None:
+            indices = self.plan(idx)["frame_indices"]
+        if not indices:
+            return np.full((self.num_frames, hw[1], hw[0], 3), 127, np.uint8)
+        from .native import decode_frames_auto
+
+        try:
+            return decode_frames_auto(self.video_paths[idx], indices,
+                                      resize_to=self.resize_to)
+        except Exception:
+            return np.full((self.num_frames, hw[1], hw[0], 3), 127, np.uint8)
 
     def __getitem__(self, idx: int) -> Dict:
         return self.materialize(self.plan(idx))

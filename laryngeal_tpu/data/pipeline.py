@@ -87,14 +87,23 @@ class ClipLoader:
             items = list(pool.map(self.dataset.materialize, plans))
         else:
             items = [self.dataset.materialize(p) for p in plans]
-        pixel = np.stack([it["pixel_values"] for it in items])
+        first = items[0]["pixel_values"]
+        if isinstance(first, tuple):
+            # Wire-format payload tuple (dct: (dc, ac)) — stack leaf-wise.
+            pixel = tuple(
+                np.stack([it["pixel_values"][k] for it in items])
+                for k in range(len(first)))
+        else:
+            pixel = np.stack([it["pixel_values"] for it in items])
         labels = np.asarray([it["label"] for it in items], dtype=np.int32)
         mask = np.ones(len(items), dtype=np.bool_)
         paths = [it["video_path"] for it in items]
         frame_indices = [it["frame_indices"] for it in items]
         if self.pad_last and len(items) < self.batch_size:
             pad = self.batch_size - len(items)
-            pixel = np.concatenate([pixel, np.repeat(pixel[-1:], pad, axis=0)])
+            _pad = lambda x: np.concatenate([x, np.repeat(x[-1:], pad, axis=0)])
+            pixel = (tuple(_pad(p) for p in pixel)
+                     if isinstance(pixel, tuple) else _pad(pixel))
             labels = np.concatenate([labels, np.repeat(labels[-1:], pad)])
             mask = np.concatenate([mask, np.zeros(pad, dtype=np.bool_)])
             # Keep list fields batch-length too (masked out downstream).
@@ -158,9 +167,15 @@ def create_dataloaders(
     clip_cache_mb: int = 2048,
     cache_dir=None,
     num_workers: Optional[int] = None,
+    wire: str = "rgb",
+    wire_quality: int = 75,
+    wire_keep_ac: int = 31,
 ) -> Dict[str, ClipLoader]:
     """Train/val/test loaders — the reference ``create_dataloaders`` surface
-    (vivit_transformer/.../dataloader.py:52-135) for all five pipelines."""
+    (vivit_transformer/.../dataloader.py:52-135) for all five pipelines.
+    ``wire`` selects the host->device payload format (see
+    preprocess.transforms.decode_wire_batch); steps built with the same wire
+    decode it in-graph."""
     sampling_methods = sampling_methods or {}
     loaders = {}
     for split in ("train", "val", "test"):
@@ -178,6 +193,9 @@ def create_dataloaders(
             cache_clips=cache_clips,
             clip_cache_mb=clip_cache_mb,
             cache_dir=cache_dir,
+            wire=wire,
+            wire_quality=wire_quality,
+            wire_keep_ac=wire_keep_ac,
         )
         loaders[split] = ClipLoader(
             ds,

@@ -161,7 +161,10 @@ class Evaluator:
             j = by_path.get(path)
             if j is None:
                 continue
-            clips.append(ds[i]["pixel_values"])
+            # RGB regardless of the dataset's wire format (plots need
+            # displayable frames; the feed may ship i420/dct payloads).
+            clips.append(ds.rgb_clip(i) if hasattr(ds, "rgb_clip")
+                         else ds[i]["pixel_values"])
             ls.append(int(labels[j]))
             ps.append(int(preds[j]))
             pr.append(float(probs[j, ps[-1]]))

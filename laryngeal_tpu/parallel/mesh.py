@@ -80,7 +80,13 @@ def shard_batch(mesh: Mesh, batch: Dict) -> Dict:
     sharding = batch_sharding(mesh)
     out = {}
     for k, v in batch.items():
-        if isinstance(v, np.ndarray):
+        if isinstance(v, np.ndarray) or (
+            isinstance(v, tuple)
+            and v
+            and all(isinstance(a, np.ndarray) for a in v)
+        ):
+            # Wire-format payloads (e.g. the dct wire's (dc, ac) tuple) are
+            # pytrees of batch-leading arrays; one sharding covers all leaves.
             out[k] = jax.device_put(v, sharding)
         else:
             out[k] = v

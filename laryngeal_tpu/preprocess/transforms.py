@@ -253,3 +253,47 @@ def batch_preprocess(
     if regime == "timesformer":
         return jax.vmap(lambda v: timesformer_pixels(v, crop=crop, size=crop))(clips_u8)
     raise ValueError(f"Unknown preprocessing regime {regime!r}")
+
+
+def decode_wire_batch(
+    pixel,
+    wire: str = "rgb",
+    wire_hw: Optional[tuple] = None,
+    wire_quality: int = 75,
+) -> Array:
+    """In-graph head of the jitted step: wire payload -> RGB clip batch.
+
+    The training/eval feed can ship its host->device payload in any of the
+    framework wire formats (TPU-native infrastructure for bandwidth-limited
+    hosts — no reference counterpart, the reference feeds an on-device
+    DataLoader):
+      rgb    (B,T,H,W,3) uint8 — passthrough (reference-parity default)
+      i420   (B,T,H*3/2,W) uint8 4:2:0 planes — half the bytes, and the
+             codec-native representation (the host never converts to RGB;
+             BT.601 expansion happens here in f32)
+      delta  i420 shipped as mod-256 temporal deltas (lossless, lower
+             entropy for content-compressing links)
+      dct    (dc (B,T,NB) int16, ac (B,K,T,NB) int8) quantized DCT planes
+             (preprocess/dct_wire.py; lossy, drift pinned in tests) —
+             requires wire_hw=(h, w)
+    Returns (B,T,H,W,3) uint8 (rgb) or float32 0-255 (decoded wires); every
+    downstream preprocess regime accepts either.
+    """
+    if wire == "rgb":
+        return pixel
+    if wire in ("i420", "delta"):
+        x = temporal_delta_decode(pixel, axis=1) if wire == "delta" else pixel
+        h = x.shape[2] * 2 // 3
+        w = x.shape[3]
+        return jax.vmap(lambda c: yuv420_to_rgb(c, h, w))(x)
+    if wire == "dct":
+        from .dct_wire import decode_to_rgb
+
+        if wire_hw is None:
+            raise ValueError("wire='dct' needs wire_hw=(h, w) (static geometry)")
+        h, w = int(wire_hw[0]), int(wire_hw[1])
+        dc, ac = pixel
+        return jax.vmap(
+            lambda d, a: decode_to_rgb(d, a, h, w, int(wire_quality))
+        )(dc, ac)
+    raise ValueError(f"Unknown wire format {wire!r}")

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..parallel.mesh import batch_sharding, replicate, replicated_sharding, shard_batch
-from ..preprocess.transforms import batch_preprocess
+from ..preprocess.transforms import batch_preprocess, decode_wire_batch
 from .losses import make_loss_fn, probs_fn
 from .state import TrainState
 
@@ -47,8 +47,16 @@ def make_train_step(
     tp: bool = False,
     return_grads: bool = False,
     grad_accum: int = 1,
+    wire: str = "rgb",
+    wire_hw=None,
+    wire_quality: int = 75,
 ) -> Callable:
     """Returns train_step(state, pixel_u8, labels, mask, rng) -> (state, metrics).
+
+    ``wire`` selects the host->device payload format of ``pixel_u8``
+    (rgb | i420 | delta | dct — see preprocess.transforms.decode_wire_batch);
+    the in-graph decode fuses into this step. 'dct' ships a (dc, ac) tuple
+    and needs the static geometry ``wire_hw=(h, w)``.
 
     tp=True leaves the state's shardings unconstrained so tensor-parallel
     (model-axis) param shardings applied via parallel.tp.shard_train_state
@@ -102,7 +110,8 @@ def make_train_step(
 
         if grad_accum == 1:
             clips = batch_preprocess(
-                pixel_u8, regime, train=augment, key=aug_rng,
+                decode_wire_batch(pixel_u8, wire, wire_hw, wire_quality),
+                regime, train=augment, key=aug_rng,
                 crop=crop,
             )
             (loss_val, (logits, new_stats)), grads = jax.value_and_grad(
@@ -110,7 +119,7 @@ def make_train_step(
             )(state.params, state.batch_stats, has_bn, clips, labels, mask,
               dropout_rng)
         else:
-            batch = pixel_u8.shape[0]
+            batch = jax.tree_util.tree_leaves(pixel_u8)[0].shape[0]
             if batch % grad_accum:
                 raise ValueError(
                     f"batch size {batch} not divisible by grad_accum {grad_accum}"
@@ -129,7 +138,10 @@ def make_train_step(
                 perm = (1, 0) + tuple(range(2, x.ndim + 1))
                 return x.reshape(micro, grad_accum, *x.shape[1:]).transpose(perm)
 
-            px = _strided(pixel_u8)
+            # The wire payload stays encoded through the split (decode runs
+            # per micro-batch inside the scan, so decoded-RGB peak memory
+            # scales with the micro-batch, not the full batch).
+            px = jax.tree_util.tree_map(_strided, pixel_u8)
             lb = _strided(labels)
             mk = _strided(mask)
             zero_grads = jax.tree_util.tree_map(
@@ -141,7 +153,8 @@ def make_train_step(
                 px_i, lb_i, mk_i, i = xs
                 px_i = _constrain(px_i, data_shard)
                 clips = batch_preprocess(
-                    px_i, regime, train=augment,
+                    decode_wire_batch(px_i, wire, wire_hw, wire_quality),
+                    regime, train=augment,
                     key=jax.random.fold_in(aug_rng, i), crop=crop,
                 )
                 (loss_i, (logits_i, stats)), grads_i = jax.value_and_grad(
@@ -204,13 +217,17 @@ def make_train_step(
 
 
 def make_eval_step(model, regime: str, loss: str, pos_weight: float = 1.0,
-                   mesh=None, crop: int = 224, tp: bool = False) -> Callable:
+                   mesh=None, crop: int = 224, tp: bool = False,
+                   wire: str = "rgb", wire_hw=None,
+                   wire_quality: int = 75) -> Callable:
     """Returns eval_step(state, pixel_u8, labels, mask) -> metrics (incl. probs)."""
     loss_fn = make_loss_fn(loss, pos_weight)
     get_probs = probs_fn(loss)
 
     def step(state: TrainState, pixel_u8, labels, mask):
-        clips = batch_preprocess(pixel_u8, regime, train=False, crop=crop)
+        clips = batch_preprocess(
+            decode_wire_batch(pixel_u8, wire, wire_hw, wire_quality),
+            regime, train=False, crop=crop)
         variables = {"params": state.params}
         if state.batch_stats:
             variables["batch_stats"] = state.batch_stats
@@ -240,12 +257,15 @@ def make_eval_step(model, regime: str, loss: str, pos_weight: float = 1.0,
 
 
 def prepare_batch(batch: Dict, mesh=None) -> Tuple:
-    """Host batch dict -> (pixel_u8, labels, mask) device arrays."""
+    """Host batch dict -> (pixel_u8, labels, mask) device arrays.
+
+    pixel_values may be a wire-format pytree (dct ships a (dc, ac) tuple);
+    every leaf is batch-leading, so one batch sharding covers the tree."""
     if mesh is not None:
         b = shard_batch(mesh, {k: batch[k] for k in ("pixel_values", "labels", "mask")})
         return b["pixel_values"], b["labels"], b["mask"]
     return (
-        jnp.asarray(batch["pixel_values"]),
+        jax.tree_util.tree_map(jnp.asarray, batch["pixel_values"]),
         jnp.asarray(batch["labels"]),
         jnp.asarray(batch["mask"]),
     )

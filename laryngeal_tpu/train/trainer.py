@@ -114,14 +114,23 @@ class Trainer:
         # tp, pp and fsdp all carry non-replicated state shardings that must
         # propagate through the step instead of being forced to replicate.
         free_state = self.tp or self.pp or self.fsdp
+        # The steps decode whatever wire format the loaders ship (the
+        # dataset owns the choice — see VideoDataset(wire=...)).
+        wire = getattr(train_ds, "wire", "rgb")
+        wire_hw = None
+        if wire == "dct":
+            rt = train_ds.resize_to or (224, 224)
+            wire_hw = (rt[1], rt[0])  # resize_to is (w, h); decode wants (h, w)
+        wire_kw = dict(wire=wire, wire_hw=wire_hw,
+                       wire_quality=getattr(train_ds, "wire_quality", 75))
         self.train_step = make_train_step(
             model, spec.preprocess_regime, spec.loss, self.pos_weight, mesh,
             crop=self.crop, grad_accum=int(config.get("grad_accum_steps", 1)),
-            tp=free_state,
+            tp=free_state, **wire_kw,
         )
         self.eval_step = make_eval_step(
             model, spec.preprocess_regime, spec.loss, self.pos_weight, mesh,
-            crop=self.crop, tp=free_state,
+            crop=self.crop, tp=free_state, **wire_kw,
         )
 
         # Policies.
