@@ -302,6 +302,14 @@ int clip_decode(const char* path, const int* indices, int n_indices,
   auto handle_decoded = [&](AVFrame* f) {
     bool needed = want_i < n_indices && indices[want_i] == cur;
     if (needed) {
+      // Identity fast path: when the decoder already emits the requested
+      // geometry and format (common for 4:2:0 sources served at native
+      // size), skip swscale entirely — emit() copies planes directly.
+      if (f->width == out_w && f->height == out_h &&
+          (AVPixelFormat)f->format == dst_fmt) {
+        emit(f);
+        return;
+      }
       if (!sws) {
         sws = sws_getContext(f->width, f->height, (AVPixelFormat)f->format,
                              out_w, out_h, dst_fmt, SWS_BILINEAR, nullptr,
