@@ -56,7 +56,15 @@ def reconcile_params(current, converted, logger=None, context=""):
                 dropped.append(name)
                 continue
         out[k] = v
+    missing = sorted("/".join(str(x) for x in k)
+                     for k in flat_cur if k not in flat_new)
     if logger:
+        if missing:
+            logger.warning(
+                "%s%d model tensors absent from the converted checkpoint "
+                "keep RANDOM init (depth/width mismatch?): %s", context,
+                len(missing), ", ".join(missing[:12]) +
+                (" ..." if len(missing) > 12 else ""))
         if interped:
             logger.info("%sInterpolated temporal embeddings: %s", context,
                         ", ".join(interped))

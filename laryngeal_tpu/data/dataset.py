@@ -191,10 +191,19 @@ class VideoDataset:
         # and the clip caches hold the smaller encoded payloads.
         if wire not in ("rgb", "i420", "delta", "dct"):
             raise ValueError(f"Unknown wire format {wire!r}")
-        hw_chk = resize_to or (224, 224)
-        if wire != "rgb" and (hw_chk[0] % 16 or hw_chk[1] % 16):
-            raise ValueError(
-                f"wire={wire!r} needs resize_to multiples of 16, got {hw_chk}")
+        if wire != "rgb":
+            # Native-size decode (resize_to=None) would make the payload
+            # geometry video-dependent while the jitted step's wire_hw is
+            # static — and non-16-divisible sizes break the 4:2:0/DCT tiling.
+            # Fail here, loudly, not per-clip inside materialize().
+            if resize_to is None:
+                raise ValueError(
+                    f"wire={wire!r} requires an explicit resize_to (the wire "
+                    f"payload geometry must be static); got resize_to=None")
+            if resize_to[0] % 16 or resize_to[1] % 16:
+                raise ValueError(
+                    f"wire={wire!r} needs resize_to multiples of 16, "
+                    f"got {resize_to}")
         self.wire = wire
         self.wire_quality = int(wire_quality)
         self.wire_keep_ac = int(wire_keep_ac)

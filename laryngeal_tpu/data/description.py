@@ -137,7 +137,9 @@ def organize_from_description(
     label-stratified (``ops.stratified_split``, same 70/15/15 defaults as
     ``scripts/video_data_distribution.py:11-67``). Writes
     ``dataset_splits.csv`` next to the tree; when ``expected_splits_csv`` is
-    given the produced counts are checked against it and a mismatch raises.
+    given the produced counts are checked against it (before anything is
+    written) and a mismatch raises. ``copy=False`` is a true dry run: plan +
+    verify with no directories created and no CSV written.
     Videos listed in the CSV but absent on disk are reported, not fatal
     (returns them under the ``"missing"`` key of the stats dict).
     """
@@ -161,15 +163,15 @@ def organize_from_description(
         counter: Counter = Counter()
         for f in files:
             cls = cls_of[f]
-            dest = out / split / cls
-            dest.mkdir(parents=True, exist_ok=True)
             if copy:
+                dest = out / split / cls
+                dest.mkdir(parents=True, exist_ok=True)
                 shutil.copy2(f, dest / f.name)
             counter[cls] += 1
         stats[split] = dict(counter)
 
-    write_dataset_splits(stats, out / "dataset_splits.csv")
-
+    # Verify BEFORE writing the sidecar so a mismatch never leaves a stale
+    # dataset_splits.csv; a dry run (copy=False) touches the disk not at all.
     if expected_splits_csv is not None:
         expected = load_dataset_splits(expected_splits_csv)
         diffs = []
@@ -182,6 +184,9 @@ def organize_from_description(
             raise ValueError(
                 "split counts diverge from expected dataset_splits.csv: "
                 + "; ".join(diffs))
+
+    if copy:
+        write_dataset_splits(stats, out / "dataset_splits.csv")
 
     if missing:
         stats["missing"] = {"count": len(missing)}

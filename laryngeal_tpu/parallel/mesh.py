@@ -97,3 +97,20 @@ def replicate(mesh: Mesh, tree):
     """Replicate a pytree (params / train state) across the mesh."""
     sharding = replicated_sharding(mesh)
     return jax.device_put(tree, sharding)
+
+
+def shard_map_nocheck(fn, mesh: Mesh, in_specs, out_specs):
+    """`shard_map` with replication checking off, across jax versions.
+
+    jax >= 0.8 promotes shard_map out of jax.experimental and renames
+    check_rep -> check_vma; this is the one place that difference lives
+    (used by parallel/sp.py and parallel/pp.py — keep them in sync by
+    keeping them here).
+    """
+    if hasattr(jax, "shard_map"):
+        return jax.shard_map(fn, mesh=mesh, in_specs=in_specs,
+                             out_specs=out_specs, check_vma=False)
+    from jax.experimental.shard_map import shard_map as _sm  # pragma: no cover
+
+    return _sm(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+               check_rep=False)

@@ -45,15 +45,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-try:  # promoted out of jax.experimental in jax 0.8 (check_rep -> check_vma)
-    from functools import partial as _partial
-
-    shard_map = _partial(jax.shard_map, check_vma=False)
-    _HAS_CHECK_REP = False
-except AttributeError:  # pragma: no cover
-    from jax.experimental.shard_map import shard_map
-
-    _HAS_CHECK_REP = True
+from .mesh import shard_map_nocheck
 
 DATA_AXIS = "data"
 STAGE_AXIS = "stage"
@@ -157,13 +149,11 @@ def pipeline_apply(
             STAGE_AXIS)
         return outs
 
-    kwargs = {"check_rep": False} if _HAS_CHECK_REP else {}
-    out = shard_map(
+    out = shard_map_nocheck(
         stage_fn,
-        mesh=mesh,
+        mesh,
         in_specs=(P(STAGE_AXIS), P(None, DATA_AXIS)),
         out_specs=P(None, DATA_AXIS),
-        **kwargs,
     )(stacked_params, xm)
     return out.reshape(b, *x.shape[1:])
 

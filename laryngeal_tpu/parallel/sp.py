@@ -226,18 +226,10 @@ def sp_sharded_attention(q: jax.Array, k: jax.Array, v: jax.Array,
         if h % m:
             return None
         head_axis = MODEL_AXIS
-    try:  # jax >= 0.8 (check_rep renamed); match parallel/pp.py
-        from functools import partial as _partial
-
-        _shard_map = _partial(jax.shard_map, check_vma=False)
-    except AttributeError:  # pragma: no cover
-        from jax.experimental.shard_map import shard_map as _sm
-
-        _shard_map = _partial(_sm, check_rep=False)
-
     from jax.sharding import PartitionSpec as P
 
     from ..ops.flash_attention import flash_attention
+    from .mesh import shard_map_nocheck
 
     spec = P(data_axis, seq_axis, head_axis, None)
     n_k = k.shape[1]
@@ -250,5 +242,5 @@ def sp_sharded_attention(q: jax.Array, k: jax.Array, v: jax.Array,
         vf = jax.lax.all_gather(vs, seq_axis, axis=1, tiled=True)
         return flash_attention(qs, kf, vf, None, block_q, block_k, kv_valid)
 
-    return _shard_map(local, mesh=mesh, in_specs=(spec, spec, spec),
-                      out_specs=spec)(q, k, v)
+    return shard_map_nocheck(local, mesh, in_specs=(spec, spec, spec),
+                             out_specs=spec)(q, k, v)

@@ -78,7 +78,8 @@ def save_checkpoint(
     return str(path)
 
 
-def _restore_cross_layout(path: Path, state_template: TrainState) -> Dict:
+def _restore_cross_layout(path: Path, state_template: TrainState,
+                          cause: Exception) -> Dict:
     """Bridge the GPipe param layout (parallel/pp.py ``{"stacked","rest"}``)
     and the sequential ``layer_{i}`` layout when the checkpoint and the
     template disagree — e.g. running inference on a checkpoint written by a
@@ -86,9 +87,16 @@ def _restore_cross_layout(path: Path, state_template: TrainState) -> Dict:
     sequential checkpoint. Params convert exactly (stack/unstack is a pure
     relayout); the optimizer state is taken fresh from the template (its
     moment trees mirror the other layout), so a cross-layout restore resets
-    optimizer momentum — fine for inference/eval and for warm starts, stated
-    here rather than silently half-restored.
+    optimizer momentum — fine for inference/eval and for warm starts, warned
+    at runtime rather than silently half-restored.
+
+    Raises ``cause`` (the templated-restore failure) unchanged when the
+    checkpoint is NOT a pipeline<->sequential relayout, so corrupt files and
+    shape mismatches surface as themselves instead of a misleading layout
+    error.
     """
+    import logging
+
     from ..parallel.pp import from_sequential_params, to_sequential_params
 
     with ocp.StandardCheckpointer() as ckptr:
@@ -103,9 +111,11 @@ def _restore_cross_layout(path: Path, state_template: TrainState) -> Dict:
         n_layers = jax.tree.leaves(want["stacked"])[0].shape[0]
         params = from_sequential_params(saved, n_layers)
     else:
-        raise ValueError(
-            f"checkpoint at {path} does not match the template param "
-            f"structure and is not a known pipeline<->sequential relayout")
+        raise cause
+    logging.getLogger("laryngeal_tpu").warning(
+        "checkpoint %s restored across pipeline<->sequential layouts: params "
+        "converted exactly; optimizer state reset to fresh (momentum lost — "
+        "fine for inference/eval and warm starts, not for exact resume)", path)
     return {
         "step": raw.get("step", state_template.step),
         "params": params,
@@ -126,8 +136,8 @@ def load_checkpoint(path, state_template: TrainState) -> Dict[str, Any]:
             restored = ckptr.restore(
                 path / "state", _state_pytree(state_template)
             )
-    except Exception:
-        restored = _restore_cross_layout(path, state_template)
+    except Exception as e:
+        restored = _restore_cross_layout(path, state_template, cause=e)
     state = state_template.replace(
         step=restored["step"],
         params=restored["params"],
