@@ -118,12 +118,12 @@ class DiskClipCache:
     def _file(self, key) -> Path:
         import hashlib
 
-        path, indices, resize = key
+        path, indices, resize, *rest = key  # rest: wire format (and future)
         try:
             mtime = int(Path(path).stat().st_mtime)
         except OSError:
             mtime = 0
-        raw = f"{Path(path).resolve()}|{mtime}|{indices}|{resize}"
+        raw = f"{Path(path).resolve()}|{mtime}|{indices}|{resize}|{rest}"
         return self.dir / (hashlib.sha1(raw.encode()).hexdigest() + ".npy")
 
     def get(self, key):
