@@ -51,7 +51,7 @@ from pathlib import Path
 NUM_FRAMES = 32
 CROP = 224
 BATCH = int(os.environ.get("BENCH_BATCH", "8"))
-N_VIDEOS = 48
+N_VIDEOS = int(os.environ.get("BENCH_N_VIDEOS", "48"))
 BENCH_DIR = Path(os.environ.get("BENCH_DATA_DIR", "/tmp/laryngeal_bench_data"))
 BASELINE_CACHE = Path(__file__).parent / "BENCH_BASELINE.json"
 PEAK_TFLOPS = float(os.environ.get("BENCH_PEAK_TFLOPS", "197"))  # v5e bf16
@@ -422,8 +422,15 @@ def bench_tpu(paths, forward, params, pass_seed: int = 0,
                     np.stack([b[1] for b in batch]))
         return np.stack(batch)
 
+    # Per-thread CPU-second accounting (time.thread_time): on this 1-core
+    # host the three stages share the core, so their CPU sums bound the pass
+    # — the attribution says whether a slow pass is decode CPU, uploader
+    # serialize/hash CPU, or genuine stall (wall - total CPU).
+    cpu_s = {"decode": 0.0, "upload": 0.0}
+
     def decoder():
         batch = []
+        t_cpu0 = time.thread_time()
         try:
             for p in paths:
                 clip = decode_frames_auto(p, sampler(str(p), 96),
@@ -441,11 +448,13 @@ def bench_tpu(paths, forward, params, pass_seed: int = 0,
                     batch.append(batch[-1])
                 q_dec.put(stack_batch(batch))
         finally:
+            cpu_s["decode"] = time.thread_time() - t_cpu0
             q_dec.put(None)  # never strand downstream, even on decode errors
 
     xfer_bytes = [0]
 
     def uploader():
+        t_cpu0 = time.thread_time()
         try:
             while True:
                 item = q_dec.get()
@@ -458,9 +467,11 @@ def bench_tpu(paths, forward, params, pass_seed: int = 0,
                 xfer_bytes[0] += sum(a.nbytes for a in jax.tree.leaves(item))
                 q_dev.put(jax.device_put(item))
         finally:
+            cpu_s["upload"] = time.thread_time() - t_cpu0
             q_dev.put(None)
 
     t0 = time.perf_counter()
+    t_cpu_main0 = time.thread_time()
     threading.Thread(target=decoder, daemon=True).start()
     threading.Thread(target=uploader, daemon=True).start()
     out = None
@@ -476,6 +487,9 @@ def bench_tpu(paths, forward, params, pass_seed: int = 0,
     if stats is not None:
         stats["xfer_mb"] = xfer_bytes[0] / 1e6
         stats["wall_s"] = dt
+        stats["cpu_s"] = {"decode": round(cpu_s["decode"], 3),
+                          "upload": round(cpu_s["upload"], 3),
+                          "main": round(time.thread_time() - t_cpu_main0, 3)}
     return len(paths) / dt  # count real videos, not pad duplicates
 
 
@@ -614,6 +628,13 @@ def main():
     t_norm = max(t_decode, mb_clip / (nominal_mbps * speedup), t_compute)
     breakdown["e2e_implied_mbps"] = round(value * mb_clip, 1)
     breakdown["e2e_at_nominal_35mbps"] = round(1.0 / t_norm, 2)
+    # Host-CPU attribution of the best pass (1-core host: the stage CPU sums
+    # bound the pass; wall minus total CPU is genuine stall/fill/drain).
+    if "cpu_s" in bstat:
+        c = bstat["cpu_s"]
+        breakdown["host_cpu_s_best_pass"] = {
+            **c, "wall_s": round(bstat["wall_s"], 2),
+            "stall_s": round(bstat["wall_s"] - sum(c.values()), 2)}
     breakdown["wire"] = (
         WIRE if WIRE != "dct" else
         f"dct q{DCT_QUALITY} keep{DCT_KEEP} (lossy: max softmax drift 0.004 "

@@ -130,6 +130,9 @@ def main(argv=None, model_default=None):
     logger.info("Batch inference over %d videos", len(videos))
     results = predictor.predict_videos(
         [str(v) for v in videos], batch_size=args.batch_size)
+    # Reproducibility audit of which frames each prediction sampled
+    # (resnet50-3d-video/inference.py:206-245 save_sampled_frames).
+    predictor.save_sampled_frames(results_dir)
     csv_path = results_dir / "batch_results.csv"
     with open(csv_path, "w", newline="") as f:
         w = csv.writer(f)

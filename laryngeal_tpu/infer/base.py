@@ -44,7 +44,40 @@ class VideoPredictorBase:
                               jnp.asarray(clip_u8))
         return np.asarray(probs)
 
+    def save_sampled_frames(self, log_dir) -> Optional[str]:
+        """CSV audit of the indices every prediction this session sampled —
+        ``inference_sampled_frames_{method}.csv``, the reference's
+        inference-side reproducibility dump (resnet50-3d-video/
+        inference.py:206-245). The dynamic_fps column is blank: this
+        framework's samplers handle short videos in index space
+        (data/samplers.py), not by retiming."""
+        import csv
+        import os
+
+        records = getattr(self, "_sampled_records", None)
+        if not log_dir or not records:
+            return None
+        path = os.path.join(
+            str(log_dir),
+            f"inference_sampled_frames_{self.sampling_method}.csv")
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "w", newline="") as f:
+            wr = csv.writer(f)
+            wr.writerow(["video_filename", "total_frames", "sampled_frames",
+                         "dynamic_fps"])
+            for vp in sorted(records):
+                total, idx = records[vp]
+                wr.writerow([os.path.basename(vp), total,
+                             ",".join(map(str, idx)), ""])
+        self.logger.info("Saved %d sampled frame records to %s",
+                         len(records), path)
+        return path
+
     def _result(self, video_path, probs, indices, total_frames) -> Dict:
+        if not hasattr(self, "_sampled_records"):
+            self._sampled_records = {}
+        self._sampled_records[str(video_path)] = (int(total_frames),
+                                                  list(indices))
         pred = int(np.argmax(probs))
         class_name = (self.class_labels[pred]
                       if pred < len(self.class_labels) else str(pred))

@@ -89,6 +89,21 @@ def test_inference_cli_batch_mode(trained, synth_root, tmp_path):
     assert len(csvs) == 1
     lines = csvs[0].read_text().strip().splitlines()
     assert len(lines) == 5  # header + 4 rows
+    # Inference-side sampled-frames audit
+    # (resnet50-3d-video/inference.py:206-245).
+    audits = list(tmp_path.glob(
+        "**/inference_results/inference_sampled_frames_uniform.csv"))
+    assert len(audits) == 1
+    import csv as csv_mod
+
+    with open(audits[0]) as f:
+        rows = list(csv_mod.reader(f))
+    assert rows[0] == ["video_filename", "total_frames", "sampled_frames",
+                       "dynamic_fps"]
+    assert len(rows) == 5
+    for fname, total, sampled, _fps in rows[1:]:
+        assert fname.endswith(".mp4") and int(total) > 0
+        assert len(sampled.split(",")) == 4  # num_frames indices
 
 
 def test_cli_requires_video_arg(trained, tmp_path):
