@@ -57,6 +57,20 @@ def _load():
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int),
     ]
     lib.clip_decode.restype = ctypes.c_int
+    if hasattr(lib, "clip_decode_ex"):  # older .so builds lack it
+        lib.clip_decode_ex.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.clip_decode_ex.restype = ctypes.c_int
+    if hasattr(lib, "clip_encode_h264"):  # older .so builds lack it
+        lib.clip_encode_h264.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_double, ctypes.c_int,
+            ctypes.c_char_p,
+        ]
+        lib.clip_encode_h264.restype = ctypes.c_int
     if hasattr(lib, "clip_dct_encode"):  # older .so builds lack it
         lib.clip_dct_encode.argtypes = [
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
@@ -94,9 +108,16 @@ def decode_frames(
     indices: Sequence[int],
     resize_to: Optional[Tuple[int, int]] = None,
     fmt: str = "rgb",
+    fast: bool = False,
 ) -> np.ndarray:
     """Decode `indices` natively. fmt 'rgb' -> (N,H,W,3); 'i420' ->
-    (N, H*3/2, W) packed planes (cv2-I420 layout, even H/W required)."""
+    (N, H*3/2, W) packed planes (cv2-I420 layout, even H/W required).
+
+    ``fast=True`` skips the h264 in-loop deblocking filter (ffmpeg's
+    ``-skip_loop_filter all``): every frame is still decoded, but pixels
+    drift slightly from the spec decode. Only meant for lossy transports
+    (the DCT wire) whose quantization dominates this error; falls back to
+    the exact path when the loaded .so predates ``clip_decode_ex``."""
     lib = _load()
     if lib is None:
         raise RuntimeError("native cliploader unavailable")
@@ -119,9 +140,15 @@ def decode_frames(
         code = 0
     c_idx = (ctypes.c_int * n)(*idx)
     decoded = ctypes.c_int()
-    rc = lib.clip_decode(str(path).encode(), c_idx, n, out_w, out_h, code,
-                         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-                         ctypes.byref(decoded))
+    if fast and hasattr(lib, "clip_decode_ex"):
+        rc = lib.clip_decode_ex(
+            str(path).encode(), c_idx, n, out_w, out_h, code, 1,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.byref(decoded))
+    else:
+        rc = lib.clip_decode(str(path).encode(), c_idx, n, out_w, out_h, code,
+                             out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                             ctypes.byref(decoded))
     if rc != 0:
         raise ValueError(f"native decode failed ({rc}): {path}")
     if decoded.value < n:
@@ -159,11 +186,47 @@ def dct_encode(i420: np.ndarray, quality: int):
     return dc, ac
 
 
-def decode_frames_auto(path, indices, resize_to=None, fmt: str = "rgb") -> np.ndarray:
-    """Native decode when available, cv2 fallback otherwise (rgb only)."""
+def encoder_available() -> bool:
+    """True when the loaded .so exports clip_encode_h264 AND libavcodec was
+    built with libx264 (probed lazily on first encode; see encode_h264)."""
+    lib = _load()
+    return lib is not None and hasattr(lib, "clip_encode_h264")
+
+
+def encode_h264(path, frames_rgb: np.ndarray, fps: float = 30.0,
+                crf: int = 23, preset: str = "veryfast") -> None:
+    """Encode RGB uint8 (T, H, W, 3) to h264-in-mp4 via native libx264.
+
+    This is the TPU-host counterpart of the reference's preferred avc1
+    writer (src/yolo_detector.py:546-569) and its raw-filter libx264
+    re-encode pass (src/yolo_detector.py:625-648): cv2 in this image has no
+    h264 encoder, so web-compatible output goes through libavcodec directly.
+    Raises RuntimeError when the .so or libx264 is unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "clip_encode_h264"):
+        raise RuntimeError("native clip_encode_h264 unavailable")
+    frames = np.ascontiguousarray(frames_rgb, dtype=np.uint8)
+    if frames.ndim != 4 or frames.shape[-1] != 3:
+        raise ValueError(f"expected (T,H,W,3) RGB, got {frames.shape}")
+    t, h, w, _ = frames.shape
+    rc = lib.clip_encode_h264(
+        str(path).encode(),
+        frames.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        t, w, h, float(fps), int(crf), preset.encode())
+    if rc == 1:
+        raise RuntimeError("libavcodec has no libx264 encoder on this host")
+    if rc != 0:
+        raise ValueError(f"native h264 encode failed ({rc}): {path}")
+
+
+def decode_frames_auto(path, indices, resize_to=None, fmt: str = "rgb",
+                       fast: bool = False) -> np.ndarray:
+    """Native decode when available, cv2 fallback otherwise (rgb only).
+    ``fast`` is native-only (see :func:`decode_frames`); the cv2 fallback
+    always decodes exactly."""
     if available():
         try:
-            return decode_frames(path, indices, resize_to, fmt)
+            return decode_frames(path, indices, resize_to, fmt, fast=fast)
         except Exception as e:
             logger.warning("native decode failed (%s); falling back to cv2", e)
     from . import video as _video

@@ -161,15 +161,26 @@ def decode_frames(
     return out
 
 
-def write_video(path, frames_rgb: np.ndarray, fps: float = 30.0) -> str:
-    """Encode RGB uint8 (T,H,W,C) to a video file with a codec fallback chain.
+def write_video(path, frames_rgb: np.ndarray, fps: float = 30.0,
+                codec: str = "auto") -> str:
+    """Encode RGB uint8 (T,H,W,C) to a video file.
 
-    The reference tries avc1 -> mp4v -> H264 -> XVID
-    (src/yolo_detector.py:546-569); we put mp4v first because avc1/H264 have
-    no encoder in this image and each failed probe spews ffmpeg errors."""
+    ``codec="auto"`` (default) runs a cv2 fallback chain with mp4v first:
+    the reference tries avc1 -> mp4v -> H264 -> XVID
+    (src/yolo_detector.py:546-569) but cv2's avc1/H264 encoders are absent
+    in this image, and mp4v also *decodes* ~2x faster than h264 on this
+    host (measured 30.8 vs 58.4 ms for a 32-of-96-frame 224p clip), which
+    matters for every downstream epoch. ``codec="h264"`` (or "avc1")
+    requests the reference's preferred codec through the native libx264
+    encoder (data/native.py::encode_h264) — cv2 cannot produce it here."""
     _require_cv2()
     path = str(path)
     t, h, w, _ = frames_rgb.shape
+    if codec in ("h264", "avc1", "H264"):
+        from . import native as _native
+
+        _native.encode_h264(path, frames_rgb, fps=fps)
+        return "h264"
     for codec in ("mp4v", "avc1", "XVID"):
         writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*codec), fps, (w, h))
         if writer.isOpened():

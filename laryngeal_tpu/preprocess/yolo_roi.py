@@ -245,18 +245,36 @@ class YOLODetector:
         }
 
     def _web_reencode(self, save_path: Path) -> str:
-        """Re-encode ``save_path`` to web-compatible H.264 (libx264, 2 Mbps,
-        aac) in place, best-effort: ffmpeg-python bindings first, then the
-        ffmpeg binary, else keep the cv2-encoded file — the reference's
-        semantics (src/yolo_detector.py:625-648: ImportError => "skipping
-        conversion", any failure => keep original). Returns a status string
-        recorded in the result dict so callers/tests can observe the path
-        taken."""
+        """Re-encode ``save_path`` to web-compatible H.264 (libx264) in
+        place, best-effort: the native libavcodec encoder first (this
+        image's cv2 and python have no h264 encoder — data/native.py
+        ``encode_h264`` is the path that actually runs here), then
+        ffmpeg-python, then the ffmpeg binary, else keep the cv2-encoded
+        file — the reference's semantics (src/yolo_detector.py:625-648:
+        ImportError => "skipping conversion", any failure => keep
+        original; it uses libx264 at 2 Mbps + aac, the native path uses
+        crf 23 and carries no audio — our cv2 sources have none). Returns
+        a status string recorded in the result dict so callers/tests can
+        observe the path taken."""
         import os
         import shutil
         import subprocess
 
         tmp = save_path.with_name("temp_" + save_path.name)
+        try:
+            from ..data import native as _native
+
+            if _native.encoder_available():
+                total, fps, _, _, _ = _native.get_video_properties(save_path)
+                frames = _native.decode_frames(save_path, list(range(total)))
+                _native.encode_h264(tmp, frames, fps=fps, crf=23)
+                os.replace(tmp, save_path)
+                logger.info("Web re-encode via native libx264: %s", save_path)
+                return "native_libx264"
+        except Exception as e:
+            tmp.unlink(missing_ok=True)
+            logger.warning("native libx264 re-encode failed (%s); trying "
+                           "ffmpeg paths", e)
         try:
             import ffmpeg  # type: ignore
 

@@ -13,6 +13,8 @@
 //   clip_decode(path, indices, n, out_w, out_h, fmt, out, &decoded) -> 0 ok
 //     fmt: 0 = RGB24 (n, out_h, out_w, 3), 1 = I420 (n, out_h*3/2, out_w)
 //     indices must be non-decreasing; duplicates allowed (frame copied).
+//   clip_decode_ex(..., flags, out, &decoded) — flags bit 0 = fast decode
+//     (skip h264 loop filter; small bounded pixel drift, for lossy wires).
 //
 // Build: make -C native   (g++ + pkg-config libavformat/avcodec/avutil/swscale)
 
@@ -20,6 +22,7 @@ extern "C" {
 #include <libavcodec/avcodec.h>
 #include <libavformat/avformat.h>
 #include <libavutil/imgutils.h>
+#include <libavutil/opt.h>
 #include <libswscale/swscale.h>
 }
 
@@ -41,7 +44,7 @@ struct Reader {
     if (fmt) avformat_close_input(&fmt);
   }
 
-  int open(const char* path) {
+  int open(const char* path, int fast = 0) {
     if (avformat_open_input(&fmt, path, nullptr, nullptr) < 0) return -1;
     if (avformat_find_stream_info(fmt, nullptr) < 0) return -2;
     stream_index =
@@ -58,6 +61,16 @@ struct Reader {
     // end-to-end pipeline.
     dec->thread_count = 0;
     dec->thread_type = FF_THREAD_FRAME | FF_THREAD_SLICE;
+    if (fast & 1) {
+      // Fast-decode mode: skip the h264 in-loop deblocking filter (the
+      // classic `ffmpeg -skip_loop_filter all` knob). Every frame is still
+      // decoded and emitted — only the deblock pass is dropped, so output
+      // pixels drift slightly from the spec decode (and the drift compounds
+      // along inter-frame prediction chains within a GOP). Intended for the
+      // lossy DCT wire, whose quantization already dominates this error;
+      // measured drift/speed tradeoff lives in BASELINE.md.
+      dec->skip_loop_filter = AVDISCARD_ALL;
+    }
     if (avcodec_open2(dec, codec, nullptr) < 0) return -6;
     return 0;
   }
@@ -245,15 +258,16 @@ int video_props(const char* path, int* total_frames, double* fps, int* width,
 }
 
 // fmt: 0 = RGB24, 1 = I420 packed planes.
-int clip_decode(const char* path, const int* indices, int n_indices,
-                int out_w, int out_h, int fmt_code, uint8_t* out,
-                int* decoded_count) {
+// flags bit 0: fast decode (skip the h264 loop filter; bounded pixel drift).
+int clip_decode_ex(const char* path, const int* indices, int n_indices,
+                   int out_w, int out_h, int fmt_code, int flags, uint8_t* out,
+                   int* decoded_count) {
   if (n_indices <= 0) return -10;
   for (int i = 1; i < n_indices; ++i)
     if (indices[i] < indices[i - 1]) return -11;  // must be non-decreasing
 
   Reader r;
-  int rc = r.open(path);
+  int rc = r.open(path, flags);
   if (rc != 0) return rc;
 
   const AVPixelFormat dst_fmt =
@@ -370,6 +384,131 @@ int clip_decode(const char* path, const int* indices, int n_indices,
   av_frame_free(&frame);
   av_frame_free(&scaled);
   av_packet_free(&pkt);
+  return err;
+}
+
+// Original ABI — exact (spec) decode.
+int clip_decode(const char* path, const int* indices, int n_indices,
+                int out_w, int out_h, int fmt_code, uint8_t* out,
+                int* decoded_count) {
+  return clip_decode_ex(path, indices, n_indices, out_w, out_h, fmt_code, 0,
+                        out, decoded_count);
+}
+
+// H.264 encoder: RGB24 frames (n, h, w, 3) -> h264-in-mp4 at `path` via
+// libx264 (crf rate control). The reference's codec preference is
+// avc1/H264 first (src/yolo_detector.py:546-569) and its raw-filter mode
+// re-encodes outputs with libx264 (src/yolo_detector.py:625-648); cv2 in
+// this image has no h264 encoder, so this is the native path that makes
+// both real. w and h must be even (yuv420p chroma subsampling).
+// Returns 0 on success; 1 if libx264 is absent from libavcodec.
+int clip_encode_h264(const char* path, const uint8_t* rgb, int n, int w,
+                     int h, double fps, int crf, const char* preset) {
+  if (n <= 0 || w <= 0 || h <= 0 || (w % 2) || (h % 2)) return -1;
+  if (fps <= 0) fps = 30.0;
+  const AVCodec* codec = avcodec_find_encoder_by_name("libx264");
+  if (!codec) return 1;
+
+  AVFormatContext* ofmt = nullptr;
+  if (avformat_alloc_output_context2(&ofmt, nullptr, "mp4", path) < 0 || !ofmt)
+    return -2;
+
+  AVCodecContext* enc = avcodec_alloc_context3(codec);
+  int err = 0;
+  AVStream* st = nullptr;
+  AVFrame* yuv = nullptr;
+  AVPacket* pkt = nullptr;
+  SwsContext* sws = nullptr;
+  bool header_written = false;
+
+  enc->width = w;
+  enc->height = h;
+  enc->pix_fmt = AV_PIX_FMT_YUV420P;
+  // Exact rational fps (av_d2q on 1/fps loses precision: 1/30 -> 30.32
+  // reported back); integer rates get {fps,1}, NTSC-style get a tight
+  // rational.
+  enc->framerate = av_d2q(fps, 100000);
+  enc->time_base = av_inv_q(enc->framerate);
+  if (ofmt->oformat->flags & AVFMT_GLOBALHEADER)
+    enc->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
+  av_opt_set_int(enc->priv_data, "crf", crf < 0 ? 23 : crf, 0);
+  av_opt_set(enc->priv_data, "preset", preset && *preset ? preset : "veryfast",
+             0);
+
+  auto write_packets = [&](bool flush) -> int {
+    if (avcodec_send_frame(enc, flush ? nullptr : yuv) < 0) return -6;
+    for (;;) {
+      int rc = avcodec_receive_packet(enc, pkt);
+      if (rc == AVERROR(EAGAIN) || rc == AVERROR_EOF) return 0;
+      if (rc < 0) return -7;
+      av_packet_rescale_ts(pkt, enc->time_base, st->time_base);
+      // One frame interval per packet: without an explicit duration the
+      // mp4 muxer ends the stream at the last pts, shorting the container
+      // by one interval (avg fps then reads n/(n-1) high).
+      pkt->duration = av_rescale_q(1, enc->time_base, st->time_base);
+      pkt->stream_index = st->index;
+      rc = av_interleaved_write_frame(ofmt, pkt);
+      av_packet_unref(pkt);
+      if (rc < 0) return -8;
+    }
+  };
+
+  if (avcodec_open2(enc, codec, nullptr) < 0) {
+    err = -3;
+    goto done;
+  }
+  st = avformat_new_stream(ofmt, nullptr);
+  if (!st || avcodec_parameters_from_context(st->codecpar, enc) < 0) {
+    err = -4;
+    goto done;
+  }
+  st->time_base = enc->time_base;
+  if (avio_open(&ofmt->pb, path, AVIO_FLAG_WRITE) < 0) {
+    err = -5;
+    goto done;
+  }
+  if (avformat_write_header(ofmt, nullptr) < 0) {
+    err = -5;
+    goto done;
+  }
+  header_written = true;
+
+  yuv = av_frame_alloc();
+  pkt = av_packet_alloc();
+  yuv->format = AV_PIX_FMT_YUV420P;
+  yuv->width = w;
+  yuv->height = h;
+  if (av_frame_get_buffer(yuv, 32) < 0) {
+    err = -5;
+    goto done;
+  }
+  sws = sws_getContext(w, h, AV_PIX_FMT_RGB24, w, h, AV_PIX_FMT_YUV420P,
+                       SWS_BILINEAR, nullptr, nullptr, nullptr);
+  if (!sws) {
+    err = -5;
+    goto done;
+  }
+
+  for (int t = 0; t < n && err == 0; ++t) {
+    const uint8_t* src = rgb + (size_t)t * w * h * 3;
+    const int stride = w * 3;
+    av_frame_make_writable(yuv);
+    sws_scale(sws, &src, &stride, 0, h, yuv->data, yuv->linesize);
+    yuv->pts = t;
+    err = write_packets(false);
+  }
+  if (err == 0) err = write_packets(true);  // flush the encoder
+  if (header_written && av_write_trailer(ofmt) < 0 && err == 0) err = -9;
+
+done:
+  if (sws) sws_freeContext(sws);
+  if (yuv) av_frame_free(&yuv);
+  if (pkt) av_packet_free(&pkt);
+  if (enc) avcodec_free_context(&enc);
+  if (ofmt) {
+    if (ofmt->pb) avio_closep(&ofmt->pb);
+    avformat_free_context(ofmt);
+  }
   return err;
 }
 

@@ -176,11 +176,15 @@ def test_detected_only_raw_mode(detector, synth_video, tmp_path):
 
 def test_raw_mode_web_reencode_skipped_without_ffmpeg(
         detector, synth_video, tmp_path, monkeypatch):
-    """No ffmpeg bindings/binary => keep cv2 output, status says so
-    (reference src/yolo_detector.py:645-648 'skipping conversion')."""
+    """No native encoder, ffmpeg bindings, or binary => keep cv2 output,
+    status says so (reference src/yolo_detector.py:645-648 'skipping
+    conversion')."""
     import shutil
     import sys
 
+    from laryngeal_tpu.data import native as _native
+
+    monkeypatch.setattr(_native, "encoder_available", lambda: False)
     monkeypatch.delitem(sys.modules, "ffmpeg", raising=False)
     monkeypatch.setattr(shutil, "which", lambda name: None)
     res = detector.process_video_detected_only_raw(
@@ -191,12 +195,16 @@ def test_raw_mode_web_reencode_skipped_without_ffmpeg(
 
 def test_raw_mode_web_reencode_ffmpeg_python(
         detector, synth_video, tmp_path, monkeypatch):
-    """With ffmpeg-python importable, the output is re-encoded in place
-    (libx264, 2M, aac — reference src/yolo_detector.py:630-641)."""
+    """With the native encoder absent and ffmpeg-python importable, the
+    output is re-encoded in place (libx264, 2M, aac — reference
+    src/yolo_detector.py:630-641)."""
     import sys
     import types
     from pathlib import Path as _P
 
+    from laryngeal_tpu.data import native as _native
+
+    monkeypatch.setattr(_native, "encoder_available", lambda: False)
     calls = {}
     mod = types.ModuleType("ffmpeg")
     mod.input = lambda p: ("in", p)
