@@ -11,7 +11,7 @@ chained-jit timing (fori_loop carry dependence, CLAUDE.md microbench rule):
 - ``h2``             2 heads per program via batched dot_general (grid h/2)
 - bwd ``nwin=1`` vs ``nwin=2`` (two windows per backward program)
 
-Head-packing arithmetic (why 4xD32 -> 128-lane packing is NOT measured as a
+Head-packing arithmetic (why 4xD32 -> 128-lane packing is not a kernel
 variant): packing h heads' scores into one full-contraction matmul requires a
 block-diagonal operand — Q_pack (N,128) @ K_bd (128, hN) for QK^T, or
 P_cat (N, hN) @ V_bd (hN, 128) for PV. Real MACs become h^2 * N^2 * D
@@ -20,6 +20,13 @@ at D/128 utilization unpacked: h^2*N^2*D == (h*N^2*D) * (128/D) exactly when
 h*D == 128 — identical MXU occupancy, plus extra VPU work to build the zero
 blocks. The systolic array charges padding and zeros the same; packing
 relocates the waste, it cannot remove it.
+
+``--probe_only`` measures this empirically (``packdot_probe``): the packed
+K=128 block-diagonal dot, with its operand pre-built outside the timed
+region, is 1.05-1.49x the unpacked K=32 XLA dot (both HBM-bound on the
+materialized score tensor) — yet the packed QK dot ALONE costs as much as
+the entire fused kernel stage (1.609 vs 1.621 ms at stage 1), so packing
+cannot pay for itself. Numbers in BASELINE.md.
 
 Usage (TPU): python scripts/bench_window_kernel.py [--iters 20] [--stages 1,3]
 Results recorded in BASELINE.md.
@@ -184,6 +191,56 @@ def bwd_nwin2(q, k, v, bias, rid, g):
     )(qt, kt, vt, bias_f, ridp, gt)
 
 
+def packdot_probe(stage_cfg, dtype, iters, fetch):
+    """Empirical check of the head-packing arithmetic above: raw QK^T dot at
+    the stage shape, unpacked (K=32, quarter-rate) vs 4-head block-diagonal
+    packed (K=128, full-rate, 4x MACs on zeros). Packing is given every
+    advantage — the block-diagonal operand is PRE-BUILT outside the timed
+    region (a real kernel would pay its construction every step)."""
+    bw, n, h, d = (stage_cfg[k] for k in ("bw", "n", "h", "d"))
+    pk = 128 // d  # heads packed per full contraction
+    b = bw * h
+    rng = jax.random.PRNGKey(0)
+    q = jax.random.normal(rng, (b, n, d), dtype)
+    k_ = jax.random.normal(rng, (b, d, n), dtype)
+    # Packed layout: (b/pk, n, pk*d) q with heads concatenated on lanes;
+    # block-diagonal K (b/pk, pk*d, pk*n).
+    qp = q.reshape(b // pk, pk, n, d).transpose(0, 2, 1, 3).reshape(
+        b // pk, n, pk * d)
+    kbd = jnp.zeros((b // pk, pk * d, pk * n), dtype)
+    kg = k_.reshape(b // pk, pk, d, n)
+    for i in range(pk):
+        kbd = kbd.at[:, i * d:(i + 1) * d, i * n:(i + 1) * n].set(kg[:, i])
+
+    def unpacked(q, k_):
+        return jax.lax.dot_general(
+            q, k_, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+
+    def packed(qp, kbd):
+        return jax.lax.dot_general(
+            qp, kbd, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+
+    # Same useful numbers both ways (packed output block i == unpacked head i).
+    # Compare ON DEVICE — the full score tensors are ~2 GB each and the relay
+    # moves ~25 MB/s; only the scalar relative error crosses the wire.
+    @jax.jit
+    def _relerr(q, k_, qp, kbd):
+        i = 1  # spot-check one packed block
+        a = unpacked(q, k_).reshape(b // pk, pk, n, n)[:, i]
+        p = packed(qp, kbd)[:, :, i * n:(i + 1) * n]
+        return jnp.max(jnp.abs(a - p)) / (jnp.max(jnp.abs(a)) + 1e-9)
+    relerr = float(_relerr(q, k_, qp, kbd))
+    assert relerr < 2e-2, f"packed block mismatch: relerr={relerr}"
+    return {
+        "unpacked_k32_ms": round(1e3 * chain_time(
+            unpacked, (q, k_), iters, fetch), 3),
+        "packed_k128_blockdiag_ms": round(1e3 * chain_time(
+            packed, (qp, kbd), iters, fetch), 3),
+    }
+
+
 # ---------------------------------------------------------------- harness
 def chain_time(fn, args, iters, fetch):
     """Chained fori_loop timing; returns seconds per iteration."""
@@ -208,6 +265,8 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--stages", default="1,3")
     ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--probe_only", action="store_true",
+                    help="run only the head-packing raw-dot probe")
     args = ap.parse_args()
 
     from laryngeal_tpu.utils.compile_cache import enable
@@ -233,6 +292,11 @@ def main():
             np.random.default_rng(0).integers(0, 4, (nw, n)), jnp.int32)
 
         row = {}
+        if args.probe_only:
+            row["packdot"] = packdot_probe(cfg, dtype, args.iters, fetch)
+            results[f"stage{stage}"] = row
+            print(json.dumps({f"stage{stage}": row}), flush=True)
+            continue
         # Correctness first: every variant vs the XLA fallback.
         ref = np.asarray(fwd_xla(q, k, v, bias, rid), np.float32)
         cur = np.asarray(WA.window_attention_pallas(q, k, v, bias, rid),
@@ -261,6 +325,8 @@ def main():
                 bwd_nwin2, (q, k, v, bias, rid, g), args.iters, fetch), 3)
         except Exception as e:
             row["bwd_nwin2_ms"] = f"failed: {type(e).__name__}"
+
+        row["packdot"] = packdot_probe(cfg, dtype, args.iters, fetch)
 
         results[f"stage{stage}"] = row
         print(json.dumps({f"stage{stage}": row}), flush=True)
