@@ -27,12 +27,22 @@ pytestmark = pytest.mark.skipif(
     not AB.REFERENCE.exists(), reason="reference checkout not available")
 
 
-@pytest.fixture(scope="module", params=["vivit", "timesformer"])
+# resnet3d is the CNN-family whole-loop A/B: the unmodified
+# resnet50-3d-video/main.py trains a full slow-R50 on torch CPU (stubs
+# provide the real pytorchvideo contracts — see the script's docstring for
+# the disclosed deterministic-RNG controls), so it runs 2 epochs, not 3,
+# to bound suite time. The lstm (eval-mode) and swin3d (inference) A/Bs
+# stay script-only (AB_REPORT.md); their training dynamics are pinned
+# step-level in test_lstm_train_parity.py / test_swin3d_train_parity.py.
+_EPOCHS = {"vivit": 3, "timesformer": 3, "resnet3d": 2}
+
+
+@pytest.fixture(scope="module", params=["vivit", "timesformer", "resnet3d"])
 def ab_result(request, tmp_path_factory):
     variant = request.param
     workdir = tmp_path_factory.mktemp(f"ab_{variant}")
     try:
-        yield variant, AB.run_ab(variant, workdir, epochs=3)
+        yield variant, AB.run_ab(variant, workdir, epochs=_EPOCHS[variant])
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
