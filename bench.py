@@ -257,10 +257,18 @@ def bench_transfer(paths=None, wire: str = None) -> dict:
         ac = np.stack([e[1] for e in enc])
 
         def dct_payload(it):
-            # Salt a sparse stripe so every iteration hashes differently.
+            # Salt a sparse stripe of BOTH arrays so every iteration hashes
+            # differently — ac is ~31/33 of the payload, and an unsalted
+            # copy would let the relay's content-hash dedup serve it from
+            # cache on iteration 2, inflating the measured rate. The stripe
+            # is 1/4096 of the elements: compressed size is unaffected at
+            # the reported precision (measured), so the probe still sees
+            # the real payload's compressibility.
             d = dc.copy()
             d.reshape(-1)[it::4096] ^= np.int16(it + 1)
-            return (d, ac.copy())
+            a = ac.copy()
+            a.reshape(-1)[it::4096] ^= np.int8(it + 1)
+            return (d, a)
 
         out["h2d_mbps_payload"] = round(rate_of(dct_payload), 1)
     return out

@@ -158,20 +158,14 @@ def organize_from_description(
     splits = stratified_split([p for p, _ in present],
                               [c for _, c in present], fractions, seed)
     cls_of = dict(present)
-    stats: Dict[str, Dict[str, int]] = {}
-    for split, files in splits.items():
-        counter: Counter = Counter()
-        for f in files:
-            cls = cls_of[f]
-            if copy:
-                dest = out / split / cls
-                dest.mkdir(parents=True, exist_ok=True)
-                shutil.copy2(f, dest / f.name)
-            counter[cls] += 1
-        stats[split] = dict(counter)
+    stats: Dict[str, Dict[str, int]] = {
+        split: dict(Counter(cls_of[f] for f in files))
+        for split, files in splits.items()}
 
-    # Verify BEFORE writing the sidecar so a mismatch never leaves a stale
-    # dataset_splits.csv; a dry run (copy=False) touches the disk not at all.
+    # Verify BEFORE any copy or sidecar write — the counts are computable
+    # from the plan alone, so a mismatch must never leave a partial (or
+    # complete-but-wrong) dataset tree on disk; a dry run (copy=False)
+    # touches the disk not at all.
     if expected_splits_csv is not None:
         expected = load_dataset_splits(expected_splits_csv)
         diffs = []
@@ -186,6 +180,11 @@ def organize_from_description(
                 + "; ".join(diffs))
 
     if copy:
+        for split, files in splits.items():
+            for f in files:
+                dest = out / split / cls_of[f]
+                dest.mkdir(parents=True, exist_ok=True)
+                shutil.copy2(f, dest / f.name)
         write_dataset_splits(stats, out / "dataset_splits.csv")
 
     if missing:

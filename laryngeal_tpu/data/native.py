@@ -78,6 +78,13 @@ def _load():
             ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_int8),
         ]
         lib.clip_dct_encode.restype = ctypes.c_int
+    if hasattr(lib, "clip_dct_encode_k"):  # keep_ac-aware builds
+        lib.clip_dct_encode_k.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_int8),
+        ]
+        lib.clip_dct_encode_k.restype = ctypes.c_int
     _lib = lib
     return _lib
 
@@ -161,10 +168,15 @@ def decode_frames(
     return out
 
 
-def dct_encode(i420: np.ndarray, quality: int):
+def dct_encode(i420: np.ndarray, quality: int, keep_ac: int = 63):
     """Native DCT wire encode: uint8 I420 clip (T, H*3/2, W) ->
-    (dc int16 (T, NB), ac int8 (63, T, NB)). Same tables/rounding as
-    preprocess.dct_wire.encode_clip_np (the parity-tested reference)."""
+    (dc int16 (T, NB), ac int8 (keep_ac, T, NB)). Same tables/rounding as
+    preprocess.dct_wire.encode_clip_np (the parity-tested reference).
+
+    keep_ac < 63 allocates and scatter-stores only the kept zigzag planes
+    (hot-path win at the default keep 31: half the stores and no
+    slice+recopy); on older .so builds lacking clip_dct_encode_k it falls
+    back to the full-63 entry point and truncates."""
     lib = _load()
     if lib is None or not hasattr(lib, "clip_dct_encode"):
         raise RuntimeError("native clip_dct_encode unavailable")
@@ -174,7 +186,20 @@ def dct_encode(i420: np.ndarray, quality: int):
     if h % 16 or w % 16:
         raise ValueError(f"DCT wire needs h, w multiples of 16, got {h}x{w}")
     nb = (h // 8) * (w // 8) + 2 * (h // 16) * (w // 16)
+    keep_ac = int(keep_ac)
+    if not 0 <= keep_ac <= 63:
+        raise ValueError(f"keep_ac must be in [0,63], got {keep_ac}")
     dc = np.empty((t, nb), np.int16)
+    if keep_ac < 63 and hasattr(lib, "clip_dct_encode_k"):
+        ac = np.empty((keep_ac, t, nb), np.int8)
+        rc = lib.clip_dct_encode_k(
+            i420.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), t, h, w,
+            int(quality), keep_ac,
+            dc.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+            ac.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)))
+        if rc != 0:
+            raise ValueError(f"native dct encode failed ({rc})")
+        return dc, ac
     ac = np.empty((63, t, nb), np.int8)
     rc = lib.clip_dct_encode(
         i420.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), t, h, w,
@@ -183,6 +208,8 @@ def dct_encode(i420: np.ndarray, quality: int):
         ac.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)))
     if rc != 0:
         raise ValueError(f"native dct encode failed ({rc})")
+    if keep_ac < 63:
+        ac = np.ascontiguousarray(ac[:keep_ac])
     return dc, ac
 
 

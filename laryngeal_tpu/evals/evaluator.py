@@ -58,6 +58,7 @@ class Evaluator:
         import jax.numpy as jnp
 
         probs_dev, loss_dev, masks, labels_all, paths = [], [], [], [], []
+        indices_of = {}
         for batch in self.loader:
             pixel, labels, mask = prepare_batch(batch, self.mesh)
             m = self.eval_step(state, pixel, labels, mask)
@@ -66,7 +67,16 @@ class Evaluator:
             valid = np.asarray(batch["mask"])
             masks.append(valid)
             labels_all.append(np.asarray(batch["labels"])[valid])
-            paths.extend(np.asarray(batch["video_paths"])[valid].tolist())
+            vpaths = np.asarray(batch["video_paths"])[valid].tolist()
+            paths.extend(vpaths)
+            # Retain the sampled indices the prediction actually consumed —
+            # the plot path must not re-draw stream-seeded samplers
+            # (dataset.rgb_clip docstring).
+            for p, fi in zip(vpaths,
+                             [f for f, ok in zip(batch.get("frame_indices", []),
+                                                 valid) if ok]):
+                indices_of[p] = fi
+        self._last_frame_indices = indices_of
         if not probs_dev:
             return np.zeros((0, 2)), np.zeros((0,), int), [], []
         probs, losses = jax.device_get(
@@ -163,7 +173,12 @@ class Evaluator:
                 continue
             # RGB regardless of the dataset's wire format (plots need
             # displayable frames; the feed may ship i420/dct payloads).
-            clips.append(ds.rgb_clip(i) if hasattr(ds, "rgb_clip")
+            # Pass the indices the prediction consumed: rgb_clip(i) without
+            # them would re-draw stream-seeded samplers — plotting different
+            # frames AND advancing the shared sampler RNG (non-reproducible
+            # later evals in the same process).
+            fi = getattr(self, "_last_frame_indices", {}).get(path)
+            clips.append(ds.rgb_clip(i, indices=fi) if hasattr(ds, "rgb_clip")
                          else ds[i]["pixel_values"])
             ls.append(int(labels[j]))
             ps.append(int(preds[j]))

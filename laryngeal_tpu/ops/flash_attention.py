@@ -493,10 +493,19 @@ def _bwd(block_q, block_k, kv_valid, res, g):
     # Biased path: recompute-through-XLA backward (exact; only used for the
     # generic-bias API — Swin3D routes through ops.window_attention).
     if kv_valid is not None:
+        # Apply the trailing-key mask INSIDE the vjp'd function (not by
+        # pre-adding it to the primal bias): the add broadcasts, and taking
+        # the vjp w.r.t. the broadcast-expanded array would return a dbias
+        # whose shape no longer matches a broadcastable primal bias (e.g.
+        # (H, Nq, Nk) or (1, 1, Nq, Nk)). vjp through the in-closure add
+        # sum-reduces the cotangent back to bias's own shape.
         nk = k.shape[1]
-        bias = bias + jnp.where(jnp.arange(nk) < kv_valid, 0.0, -1e30
-                                ).astype(bias.dtype)[None, None, None, :]
-    _, vjp = jax.vjp(_reference, q, k, v, bias)
+        mask = jnp.where(jnp.arange(nk) < kv_valid, 0.0, -1e30
+                         ).astype(bias.dtype)[None, None, None, :]
+        fn = lambda q_, k_, v_, b_: _reference(q_, k_, v_, b_ + mask)
+    else:
+        fn = _reference
+    _, vjp = jax.vjp(fn, q, k, v, bias)
     dq, dk, dv, dbias = vjp(g)
     return dq, dk, dv, dbias
 

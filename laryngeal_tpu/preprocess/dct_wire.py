@@ -38,6 +38,7 @@ relay tunnels, remote storage).
 
 from __future__ import annotations
 
+import logging
 from functools import lru_cache, partial
 from typing import Tuple
 
@@ -172,6 +173,9 @@ def encode_clip_np(i420: np.ndarray, quality: int = DEFAULT_QUALITY,
     return dc, np.ascontiguousarray(ac.transpose(2, 0, 1))
 
 
+_NATIVE_ENCODE_WARNED = False
+
+
 def encode_clip(i420: np.ndarray, quality: int = DEFAULT_QUALITY,
                 keep_ac: int = DEFAULT_KEEP_AC):
     """Native C++ encode when available, numpy fallback (matching to +-1 on
@@ -180,12 +184,18 @@ def encode_clip(i420: np.ndarray, quality: int = DEFAULT_QUALITY,
 
     if native.available() and hasattr(native, "dct_encode"):
         try:
-            dc, ac = native.dct_encode(i420, quality)
-            if keep_ac < 63:
-                ac = np.ascontiguousarray(ac[:keep_ac])
-            return dc, ac
-        except Exception:
-            pass
+            return native.dct_encode(i420, quality, keep_ac)
+        except Exception as e:
+            # Log ONCE: a broken native encoder silently falling back to the
+            # ~10x slower numpy path on every clip would quietly erase the
+            # wire-throughput win with nothing pointing at why.
+            global _NATIVE_ENCODE_WARNED
+            if not _NATIVE_ENCODE_WARNED:
+                _NATIVE_ENCODE_WARNED = True
+                logging.getLogger(__name__).warning(
+                    "native clip_dct_encode failed (%s) — falling back to "
+                    "the numpy encoder (~10x slower per clip); rebuild "
+                    "native/ (make -C native) to restore it", e)
     return encode_clip_np(i420, quality, keep_ac)
 
 
@@ -227,17 +237,12 @@ def decode_to_rgb(dc: jax.Array, ac: jax.Array, h: int, w: int,
 
 
 def _yuv_planes_to_rgb(y: jax.Array, u: jax.Array, v: jax.Array) -> jax.Array:
-    """BT.601 video-range YUV planes (u/v half-res) -> RGB f32 0-255.
-    Identical math to transforms.yuv420_to_rgb (parity-tested)."""
-    u = jnp.repeat(jnp.repeat(u, 2, axis=1), 2, axis=2)
-    v = jnp.repeat(jnp.repeat(v, 2, axis=1), 2, axis=2)
-    yf = 1.164383 * (y - 16.0)
-    uf = u - 128.0
-    vf = v - 128.0
-    r = yf + 1.596027 * vf
-    g = yf - 0.391762 * uf - 0.812968 * vf
-    b = yf + 2.017232 * uf
-    return jnp.clip(jnp.stack([r, g, b], axis=-1), 0.0, 255.0)
+    """Shared BT.601 conversion — single source of truth in
+    transforms.yuv_planes_to_rgb (lazy import: transforms lazily imports
+    this module for the dct wire, so a top-level import would be fragile)."""
+    from .transforms import yuv_planes_to_rgb
+
+    return yuv_planes_to_rgb(y, u, v)
 
 
 def decode_clip_np(dc: np.ndarray, ac: np.ndarray, h: int, w: int,

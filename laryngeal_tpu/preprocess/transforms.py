@@ -207,6 +207,17 @@ def yuv420_to_rgb(yuv: Array, height: int, width: int) -> Array:
     y = yuv[:, :h, :].astype(jnp.float32)
     u = yuv[:, h : h + h // 4, :].reshape(t, h // 2, w // 2).astype(jnp.float32)
     v = yuv[:, h + h // 4 :, :].reshape(t, h // 2, w // 2).astype(jnp.float32)
+    return yuv_planes_to_rgb(y, u, v)
+
+
+def yuv_planes_to_rgb(y: Array, u: Array, v: Array) -> Array:
+    """BT.601 video-range YUV planes (u/v half-res f32) -> RGB f32 0-255.
+
+    THE single copy of the conversion constants — both the i420/delta wire
+    (``yuv420_to_rgb``) and the dct wire (``dct_wire.decode_to_rgb``) decode
+    through this helper, so a future change (full-range sources, a different
+    chroma upsample) cannot silently diverge the two wire decodes.
+    """
     # Nearest-neighbor chroma upsample.
     u = jnp.repeat(jnp.repeat(u, 2, axis=1), 2, axis=2)
     v = jnp.repeat(jnp.repeat(v, 2, axis=1), 2, axis=2)

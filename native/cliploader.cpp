@@ -154,7 +154,7 @@ const int kZigzag[64] = {
 // [block_off, block_off + nblocks).
 void dct_plane(const uint8_t* plane, int ph, int pw, const float* recip,
                int16_t* dc, int8_t* ac, size_t ac_stride, size_t t_off,
-               size_t block_off) {
+               size_t block_off, int keep_ac) {
   const int nbx = pw / 8;
   const int nby = ph / 8;
   float a[8][8], tmp[8][8], out[64];
@@ -195,7 +195,10 @@ void dct_plane(const uint8_t* plane, int ph, int pw, const float* recip,
         qi[c] = (int8_t)q;
       }
       dc[t_off + b] = (int16_t)qf[0];
-      for (int p = 1; p < 64; ++p)  // AC planes in zigzag order
+      // Store only the kept zigzag planes: the default wire keeps 31/63, so
+      // scattering all 63 would waste half the stores AND force the Python
+      // side to slice+copy the truncated array afterwards.
+      for (int p = 1; p < keep_ac + 1; ++p)  // AC planes in zigzag order
         ac[(size_t)(p - 1) * ac_stride + t_off + b] = qi[kZigzag[p]];
     }
   }
@@ -209,10 +212,12 @@ extern "C" {
 //   dc_out : int16 (n, NB)           NB = (h/8)*(w/8) + 2*(h/16)*(w/16)
 //   ac_out : int8  (63, n, NB)       coefficient-major (zero-run friendly)
 // h, w must be multiples of 16. Returns 0 on success.
-int clip_dct_encode(const uint8_t* i420, int n, int h, int w, int quality,
-                    int16_t* dc_out, int8_t* ac_out) {
+// ac_out must hold keep_ac planes: int8 (keep_ac, n, NB).
+int clip_dct_encode_k(const uint8_t* i420, int n, int h, int w, int quality,
+                      int keep_ac, int16_t* dc_out, int8_t* ac_out) {
   if (h % 16 || w % 16 || n <= 0) return -1;
   if (quality < 1 || quality > 100) return -2;
+  if (keep_ac < 0 || keep_ac > 63) return -3;
   float ry[64], rc[64];
   quant_recip(kJpegLumaQ50, quality, ry);
   quant_recip(kJpegChromaQ50, quality, rc);
@@ -224,13 +229,18 @@ int clip_dct_encode(const uint8_t* i420, int n, int h, int w, int quality,
   for (int t = 0; t < n; ++t) {
     const uint8_t* f = i420 + (size_t)t * frame_bytes;
     const size_t t_off = (size_t)t * nb;
-    dct_plane(f, h, w, ry, dc_out, ac_out, ac_stride, t_off, 0);
+    dct_plane(f, h, w, ry, dc_out, ac_out, ac_stride, t_off, 0, keep_ac);
     dct_plane(f + (size_t)w * h, h / 2, w / 2, rc, dc_out, ac_out, ac_stride,
-              t_off, nby);
+              t_off, nby, keep_ac);
     dct_plane(f + (size_t)w * h + (size_t)(w / 2) * (h / 2), h / 2, w / 2, rc,
-              dc_out, ac_out, ac_stride, t_off, nby + nbc);
+              dc_out, ac_out, ac_stride, t_off, nby + nbc, keep_ac);
   }
   return 0;
+}
+
+int clip_dct_encode(const uint8_t* i420, int n, int h, int w, int quality,
+                    int16_t* dc_out, int8_t* ac_out) {
+  return clip_dct_encode_k(i420, n, h, w, quality, 63, dc_out, ac_out);
 }
 
 }  // extern "C"

@@ -166,3 +166,26 @@ def test_dispatcher_pallas_impl():
     out = dot_product_attention(q, k, v, impl="pallas")
     ref = dot_product_attention(q, k, v, impl="xla")
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+def test_broadcastable_bias_gradient_with_kv_valid():
+    """dbias must come back in the PRIMAL bias's (broadcastable) shape when
+    kv_valid is also set — the mask add must not expand the vjp primal
+    (regression: the bwd used to pre-add the mask, broadcasting bias to
+    (B,H,Nq,Nk) and returning a mismatched cotangent)."""
+    q, k, v = make_qkv(b=2, n=96, h=2, d=32, seed=11)
+    kv_valid = 80
+    for bias_shape in [(2, 96, 96), (1, 1, 96, 96)]:
+        bias = jax.random.normal(jax.random.PRNGKey(7), bias_shape)
+        val, gb = jax.value_and_grad(
+            lambda b: flash_attention(q, k, v, b, 128, 128,
+                                      kv_valid=kv_valid).sum())(bias)
+        assert gb.shape == bias_shape
+
+        # Numerics: must match the reference with an explicit trailing mask.
+        mask = jnp.where(jnp.arange(96) < kv_valid, 0.0, -1e30)
+        gr = jax.grad(
+            lambda b: attention_reference(
+                q, k, v, bias=b + mask[None, None, None, :]).sum())(bias)
+        np.testing.assert_allclose(np.asarray(gb), np.asarray(gr),
+                                   atol=2e-5, rtol=1e-4)
