@@ -114,3 +114,16 @@ def test_organize_reports_missing(tmp_path):
     src = _make_videos(tmp_path, ["example_0001.mp4"])  # 5 of 6 absent
     stats = organize_from_description(EXAMPLE, src, tmp_path / "o", copy=False)
     assert stats["missing"]["count"] == 5
+
+
+def test_organize_expected_mismatch_writes_nothing(tmp_path):
+    """A count mismatch must fail BEFORE any copy: no partial (or
+    complete-but-unverified) tree may be left on disk (regression — the
+    copy loop used to run first)."""
+    rows = load_data_description(EXAMPLE)
+    src = _make_videos(tmp_path, [r["file_name"] for r in rows])
+    out = tmp_path / "o_copy"
+    with pytest.raises(ValueError, match="diverge"):
+        organize_from_description(EXAMPLE, src, out, seed=42,
+                                  expected_splits_csv=SPLITS, copy=True)
+    assert not out.exists()
