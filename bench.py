@@ -64,19 +64,37 @@ PEAK_TFLOPS = float(os.environ.get("BENCH_PEAK_TFLOPS", "197"))  # v5e bf16
 #           bounded loss at BENCH_DCT_QUALITY (pinned in tests/test_dct_wire.py
 #           and measured per-session in the wire A/B)
 #
-# Default: dct at quality 75 keeping 31/63 AC planes. Measured (BASELINE.md
-# round-3 DCT wire study): transfer-stage 44.6 vs delta 22.8 clips/s on a
-# representative session, and an interleaved 3-round e2e A/B on a FAST
-# session (where transfer matters least) still had dct75k31 beating delta in
-# every matched pair (median 17.81 vs 15.52). Max softmax-probability drift
-# vs lossless on real clips: 0.0038 — the source videos are already H.264
-# lossy; shipping transform-coded frames is the standard serving wire.
-# BENCH_WIRE=delta restores the bit-exact lossless wire.
-WIRE = os.environ.get("BENCH_WIRE", "dct")
+# Default: dctp — dct at quality 75 keeping 31/63 AC planes, with zigzag
+# planes >= 14 nibble-packed (4-bit signed). Measured (BASELINE.md round-3
+# DCT wire study): dct beat delta in every matched e2e pair (median 17.81 vs
+# 15.52), and the round-3 packed-wire A/B (5 interleaved pass pairs, one
+# session) had dctp beating dct in EVERY pair — median 22.60 vs 20.76
+# (+8.9%) — because the relay hashes/compresses raw payload bytes on the
+# single host core, and packing removes 24% of them. Max softmax-probability
+# drift vs lossless on real clips: dct 0.0036, dctp 0.0038 (the pack adds
+# 4e-4) — the source videos are already H.264 lossy; shipping
+# transform-coded frames is the standard serving wire. BENCH_WIRE=delta
+# restores the bit-exact lossless wire.
+WIRE = os.environ.get("BENCH_WIRE", "dctp")
 DCT_QUALITY = int(os.environ.get("BENCH_DCT_QUALITY", "75"))
 # AC planes kept (zigzag order, <=63): truncating to 31 halves the payload
 # at quality<=80 where the high-frequency planes are almost entirely zero.
 DCT_KEEP = int(os.environ.get("BENCH_DCT_KEEP", "31"))
+# "dctp" wire: like dct but zigzag planes >= BENCH_DCT_PACK_FROM are clamped
+# to signed 4-bit and nibble-packed pairwise (preprocess/dct_wire.py
+# pack_ac_planes) — the relay hashes/compresses RAW payload bytes on the
+# single host core (BASELINE.md stall attribution), so fewer raw bytes cut
+# the stall AND the transfer. Plane stats at q75 put planes >= 14 almost
+# entirely in [-8,7] (worst clamp fraction 2e-4 on bench clips).
+DCT_PACK_FROM = int(os.environ.get("BENCH_DCT_PACK_FROM", "14"))
+
+
+def _dct_planes_per_block(wire: str) -> float:
+    """Wire bytes per 8x8 block (DC int16 + AC payload planes)."""
+    if wire == "dctp":
+        p = min(DCT_PACK_FROM, DCT_KEEP)
+        return 2 + p + (DCT_KEEP - p + 1) // 2
+    return 2 + DCT_KEEP
 
 
 def vivit_b_fwd_tflops_per_clip() -> float:
@@ -127,7 +145,8 @@ def build_model():
 def make_forward(model, wire: str = None):
     import jax
 
-    from laryngeal_tpu.preprocess.dct_wire import decode_to_rgb
+    from laryngeal_tpu.preprocess.dct_wire import (
+        decode_to_rgb, decode_to_rgb_packed)
     from laryngeal_tpu.preprocess.transforms import (
         batch_preprocess, temporal_delta_decode, yuv420_to_rgb)
 
@@ -139,8 +158,16 @@ def make_forward(model, wire: str = None):
         # RGB24 — shipped as mod-256 temporal deltas when wire=delta (the
         # relay moves lower-entropy payloads faster) or as quantized DCT
         # coefficient planes when wire=dct (mostly zero runs — the relay's
-        # content compression moves those ~4x faster; bounded loss).
-        if wire == "dct":
+        # content compression moves those ~4x faster; bounded loss). dctp
+        # additionally nibble-packs the high-frequency planes (fewer raw
+        # bytes for the relay to hash/compress on the 1-core host).
+        if wire == "dctp":
+            dc, ac_hi, ac_pk = payload
+            rgb = jax.vmap(
+                lambda d, h_, p_: decode_to_rgb_packed(
+                    d, h_, p_, CROP, CROP, DCT_QUALITY, DCT_KEEP)
+            )(dc, ac_hi, ac_pk)
+        elif wire == "dct":
             dc, ac = payload
             rgb = jax.vmap(
                 lambda d, a: decode_to_rgb(d, a, CROP, CROP, DCT_QUALITY)
@@ -170,7 +197,19 @@ def warmup_relay(forward, params, wire: str = None):
 
     rng0 = np.random.default_rng(123)
     wire = wire or WIRE
-    if wire == "dct":
+    if wire == "dctp":
+        nb = _dct_geometry()
+        p = min(DCT_PACK_FROM, DCT_KEEP)
+        q = (DCT_KEEP - p + 1) // 2
+        dummy = (
+            jnp.asarray(rng0.integers(-300, 300, (BATCH, NUM_FRAMES, nb),
+                                      dtype=np.int16)),
+            jnp.asarray(rng0.integers(-128, 128, (BATCH, p, NUM_FRAMES, nb)
+                                      ).astype(np.int8)),
+            jnp.asarray(rng0.integers(0, 256, (BATCH, q, NUM_FRAMES, nb)
+                                      ).astype(np.uint8)),
+        )
+    elif wire == "dct":
         nb = _dct_geometry()
         dummy = (
             jnp.asarray(rng0.integers(-300, 300, (BATCH, NUM_FRAMES, nb),
@@ -189,7 +228,7 @@ def bench_decode_only(paths, sampler_seed=0, wire: str = None) -> float:
     """Host decode+scale (+wire encode) rate, no device involvement."""
     from laryngeal_tpu.data.native import decode_frames_auto
     from laryngeal_tpu.data.samplers import FrameSampler
-    from laryngeal_tpu.preprocess.dct_wire import encode_clip
+    from laryngeal_tpu.preprocess.dct_wire import encode_clip, encode_clip_packed
 
     wire = wire or WIRE
     sampler = FrameSampler("random", NUM_FRAMES, seed=sampler_seed + 7)
@@ -197,7 +236,9 @@ def bench_decode_only(paths, sampler_seed=0, wire: str = None) -> float:
     for p in paths:
         clip = decode_frames_auto(p, sampler(str(p), 96),
                                   resize_to=(CROP, CROP), fmt="i420")
-        if wire == "dct":  # the dct arm pays its host-side fDCT here
+        if wire == "dctp":  # dct arms pay their host-side fDCT (+pack) here
+            encode_clip_packed(clip, DCT_QUALITY, DCT_KEEP, DCT_PACK_FROM)
+        elif wire == "dct":
             encode_clip(clip, DCT_QUALITY, DCT_KEEP)
     return len(paths) / (time.perf_counter() - t0)
 
@@ -244,31 +285,41 @@ def bench_transfer(paths=None, wire: str = None) -> dict:
             rate_of(lambda it: rng.integers(0, 255, shape, dtype=np.uint8)), 1),
         "h2d_latency_s": round(latency, 3),
     }
-    if (wire or WIRE) == "dct" and paths:
+    if (wire or WIRE) in ("dct", "dctp") and paths:
         from laryngeal_tpu.data.native import decode_frames_auto
         from laryngeal_tpu.data.samplers import FrameSampler
-        from laryngeal_tpu.preprocess.dct_wire import encode_clip
+        from laryngeal_tpu.preprocess.dct_wire import (
+            encode_clip, encode_clip_packed)
 
+        w = wire or WIRE
         sampler = FrameSampler("uniform", NUM_FRAMES, seed=42)
-        enc = [encode_clip(decode_frames_auto(
-                   p, sampler(str(p), 96), resize_to=(CROP, CROP), fmt="i420"),
-               DCT_QUALITY, DCT_KEEP) for p in paths[:BATCH]]
-        dc = np.stack([e[0] for e in enc])
-        ac = np.stack([e[1] for e in enc])
+
+        def enc1(p):
+            clip = decode_frames_auto(p, sampler(str(p), 96),
+                                      resize_to=(CROP, CROP), fmt="i420")
+            if w == "dctp":
+                return encode_clip_packed(clip, DCT_QUALITY, DCT_KEEP,
+                                          DCT_PACK_FROM)
+            return encode_clip(clip, DCT_QUALITY, DCT_KEEP)
+
+        enc = [enc1(p) for p in paths[:BATCH]]
+        arrays = tuple(np.stack([e[i] for e in enc])
+                       for i in range(len(enc[0])))
 
         def dct_payload(it):
-            # Salt a sparse stripe of BOTH arrays so every iteration hashes
-            # differently — ac is ~31/33 of the payload, and an unsalted
-            # copy would let the relay's content-hash dedup serve it from
-            # cache on iteration 2, inflating the measured rate. The stripe
-            # is 1/4096 of the elements: compressed size is unaffected at
-            # the reported precision (measured), so the probe still sees
-            # the real payload's compressibility.
-            d = dc.copy()
-            d.reshape(-1)[it::4096] ^= np.int16(it + 1)
-            a = ac.copy()
-            a.reshape(-1)[it::4096] ^= np.int8(it + 1)
-            return (d, a)
+            # Salt a sparse stripe of EVERY array so each iteration hashes
+            # differently — an unsalted copy would let the relay's
+            # content-hash dedup serve it from cache on iteration 2,
+            # inflating the measured rate. The stripe is 1/4096 of the
+            # elements: compressed size is unaffected at the reported
+            # precision (measured), so the probe still sees the real
+            # payload's compressibility.
+            out_arrays = []
+            for a in arrays:
+                a = a.copy()
+                a.reshape(-1)[it::4096] ^= np.asarray(it + 1, a.dtype)
+                out_arrays.append(a)
+            return tuple(out_arrays)
 
         out["h2d_mbps_payload"] = round(rate_of(dct_payload), 1)
     return out
@@ -282,7 +333,19 @@ def bench_compute_only(forward, params) -> float:
 
     K, ITERS = 4, 12
     rng = np.random.default_rng(7)
-    if WIRE == "dct":
+    if WIRE == "dctp":
+        nb = _dct_geometry()
+        p = min(DCT_PACK_FROM, DCT_KEEP)
+        q = (DCT_KEEP - p + 1) // 2
+        batches = (
+            jnp.asarray(rng.integers(-300, 300, (K, BATCH, NUM_FRAMES, nb),
+                                     dtype=np.int16)),
+            jnp.asarray(rng.integers(
+                -128, 128, (K, BATCH, p, NUM_FRAMES, nb)).astype(np.int8)),
+            jnp.asarray(rng.integers(
+                0, 256, (K, BATCH, q, NUM_FRAMES, nb)).astype(np.uint8)),
+        )
+    elif WIRE == "dct":
         # Stage wire-format payloads so compute-only includes the on-device
         # dequant+IDCT (it is part of the real decode->logits graph).
         nb = _dct_geometry()
@@ -421,13 +484,14 @@ def bench_tpu(paths, forward, params, pass_seed: int = 0,
     q_dev: "queue.Queue" = queue.Queue(maxsize=4)
 
     from laryngeal_tpu.data.native import decode_frames_auto
-    from laryngeal_tpu.preprocess.dct_wire import encode_clip
+    from laryngeal_tpu.preprocess.dct_wire import (
+        encode_clip, encode_clip_packed)
     from laryngeal_tpu.preprocess.transforms import temporal_delta_encode
 
     def stack_batch(batch):
-        if wire == "dct":
-            return (np.stack([b[0] for b in batch]),
-                    np.stack([b[1] for b in batch]))
+        if isinstance(batch[0], tuple):  # dct/dctp wire payload parts
+            return tuple(np.stack([b[i] for b in batch])
+                         for i in range(len(batch[0])))
         return np.stack(batch)
 
     # Per-thread CPU-second accounting (time.thread_time): on this 1-core
@@ -445,6 +509,9 @@ def bench_tpu(paths, forward, params, pass_seed: int = 0,
                                           resize_to=(CROP, CROP), fmt="i420")
                 if wire == "delta":
                     clip = temporal_delta_encode(clip)
+                elif wire == "dctp":
+                    clip = encode_clip_packed(clip, DCT_QUALITY, DCT_KEEP,
+                                              DCT_PACK_FROM)
                 elif wire == "dct":
                     clip = encode_clip(clip, DCT_QUALITY, DCT_KEEP)
                 batch.append(clip)
@@ -589,9 +656,9 @@ def main():
     # bytes/clip and the transfer rate both depend on the wire format: dct
     # ships ~half the bytes (DC int16 + DCT_KEEP int8 AC planes) and moves
     # at the measured effective (content-compressed) rate.
-    if WIRE == "dct":
+    if WIRE in ("dct", "dctp"):
         nb = _dct_geometry()
-        clip_mb = NUM_FRAMES * nb * (2 + DCT_KEEP) / 1e6
+        clip_mb = NUM_FRAMES * nb * _dct_planes_per_block(WIRE) / 1e6
         xfer_rate = xfer.get("h2d_mbps_payload", xfer["h2d_mbps"])
     else:
         clip_mb = (NUM_FRAMES * CROP * CROP * 3 / 2) / 1e6  # I420 wire bytes
@@ -643,10 +710,17 @@ def main():
         breakdown["host_cpu_s_best_pass"] = {
             **c, "wall_s": round(bstat["wall_s"], 2),
             "stall_s": round(bstat["wall_s"] - sum(c.values()), 2)}
-    breakdown["wire"] = (
-        WIRE if WIRE != "dct" else
-        f"dct q{DCT_QUALITY} keep{DCT_KEEP} (lossy: max softmax drift 0.004 "
-        f"measured vs lossless; BENCH_WIRE=delta for bit-exact)")
+    if WIRE == "dct":
+        breakdown["wire"] = (
+            f"dct q{DCT_QUALITY} keep{DCT_KEEP} (lossy: max softmax drift "
+            f"0.004 measured vs lossless; BENCH_WIRE=delta for bit-exact)")
+    elif WIRE == "dctp":
+        breakdown["wire"] = (
+            f"dctp q{DCT_QUALITY} keep{DCT_KEEP} pack{DCT_PACK_FROM} "
+            f"(dct + nibble-packed high-frequency planes; "
+            f"BENCH_WIRE=delta for bit-exact)")
+    else:
+        breakdown["wire"] = WIRE
 
     if os.environ.get("BENCH_WIRE_AB") == "1":
         # Interleaved wire-format A/B (round-2 VERDICT weak #3): n pass

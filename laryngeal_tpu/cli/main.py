@@ -143,15 +143,20 @@ def build_parser(model_default: str = None) -> argparse.ArgumentParser:
                         "less activation HBM — e.g. TimeSformer at 32 frames "
                         "OOMs at batch 8 without it (transformer families)")
     p.add_argument("--wire", type=str, default="rgb",
-                   choices=("rgb", "i420", "delta", "dct"),
+                   choices=("rgb", "i420", "delta", "dct", "dctp"),
                    help="host->device payload format for the training/eval "
                         "feed: rgb (reference parity), i420 (codec-native "
                         "4:2:0 planes, half the bytes, lossless vs source), "
                         "delta (i420 temporal deltas), dct (quantized DCT "
-                        "planes, ~1/4 the bytes, bounded loss) — the decode "
-                        "fuses into the jitted step")
+                        "planes, ~1/4 the bytes, bounded loss), dctp (dct "
+                        "with nibble-packed high-frequency planes, ~3/4 the "
+                        "dct bytes) — the decode fuses into the jitted step")
     p.add_argument("--wire_quality", type=int, default=75,
                    help="dct wire quantizer quality (1-100)")
+    p.add_argument("--wire_pack_from", type=int, default=14,
+                   help="dctp wire: first zigzag AC plane to nibble-pack "
+                        "(planes >= this are clamped to [-8,7]; 14 is "
+                        "near-lossless at quality 75)")
     p.add_argument("--no_cache_clips", action="store_true")
     p.add_argument("--clip_cache_mb", type=int, default=2048,
                    help="RAM budget (MiB) for the decoded-clip LRU cache")
@@ -268,6 +273,7 @@ def run(args) -> dict:
         num_workers=args.decode_workers,
         wire=args.wire,
         wire_quality=args.wire_quality,
+        wire_pack_from=args.wire_pack_from,
     )
     for split in ("train", "val", "test"):
         ds = loaders[split].dataset

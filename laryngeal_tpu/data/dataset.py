@@ -179,6 +179,7 @@ class VideoDataset:
         wire: str = "rgb",
         wire_quality: int = 75,
         wire_keep_ac: int = 31,
+        wire_pack_from: int = 14,
     ):
         self.root_dir = Path(root_dir)
         self.mode = mode
@@ -186,10 +187,10 @@ class VideoDataset:
         self.sampling_method = sampling_method
         self.resize_to = resize_to
         # Host->device wire format of pixel_values (rgb | i420 | delta |
-        # dct — see preprocess.transforms.decode_wire_batch). Non-rgb wires
-        # decode straight to codec-native 4:2:0 planes (no host RGB pass)
-        # and the clip caches hold the smaller encoded payloads.
-        if wire not in ("rgb", "i420", "delta", "dct"):
+        # dct | dctp — see preprocess.transforms.decode_wire_batch). Non-rgb
+        # wires decode straight to codec-native 4:2:0 planes (no host RGB
+        # pass) and the clip caches hold the smaller encoded payloads.
+        if wire not in ("rgb", "i420", "delta", "dct", "dctp"):
             raise ValueError(f"Unknown wire format {wire!r}")
         if wire != "rgb":
             # Native-size decode (resize_to=None) would make the payload
@@ -207,6 +208,7 @@ class VideoDataset:
         self.wire = wire
         self.wire_quality = int(wire_quality)
         self.wire_keep_ac = int(wire_keep_ac)
+        self.wire_pack_from = int(wire_pack_from)
         # Caching decoded clips only pays when the same indices recur:
         # uniform sampling and per-video-seeded samplers are deterministic;
         # stream-seeded stochastic samplers draw fresh indices every epoch,
@@ -314,6 +316,11 @@ class VideoDataset:
             from ..preprocess.dct_wire import encode_clip
 
             return encode_clip(i420, self.wire_quality, self.wire_keep_ac)
+        if self.wire == "dctp":
+            from ..preprocess.dct_wire import encode_clip_packed
+
+            return encode_clip_packed(i420, self.wire_quality,
+                                      self.wire_keep_ac, self.wire_pack_from)
         return i420
 
     def materialize(self, plan: Dict) -> Dict:
@@ -333,10 +340,11 @@ class VideoDataset:
         key = (path, tuple(indices))
         clip = self._clip_cache.get(key) if self.cache_clips else None
         if clip is None:
-            # The dct payload is a (dc, ac) tuple — np.save-backed disk
+            # The dct/dctp payloads are array tuples — np.save-backed disk
             # caching covers the dense-array wires only.
             disk_key = (path, tuple(indices), self.resize_to, self.wire)
-            use_disk = self._disk_cache is not None and self.wire != "dct"
+            use_disk = (self._disk_cache is not None
+                        and self.wire not in ("dct", "dctp"))
             if use_disk:
                 clip = self._disk_cache.get(disk_key)
             if clip is None:

@@ -85,6 +85,12 @@ def _load():
             ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_int8),
         ]
         lib.clip_dct_encode_k.restype = ctypes.c_int
+    if hasattr(lib, "ac_pack_nibble"):  # packed-wire builds
+        lib.ac_pack_nibble.argtypes = [
+            ctypes.POINTER(ctypes.c_int8), ctypes.c_int, ctypes.c_longlong,
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
+        lib.ac_pack_nibble.restype = ctypes.c_int
     _lib = lib
     return _lib
 
@@ -211,6 +217,26 @@ def dct_encode(i420: np.ndarray, quality: int, keep_ac: int = 63):
     if keep_ac < 63:
         ac = np.ascontiguousarray(ac[:keep_ac])
     return dc, ac
+
+
+def ac_pack(ac: np.ndarray) -> np.ndarray:
+    """Nibble-pack AC planes (N, ...) int8 -> ((N+1)//2, ...) uint8, pairs of
+    planes clamped to [-8, 7] (even plane -> low nibble; odd trailing plane
+    pairs with an implicit zero plane). Native counterpart of the numpy path
+    in preprocess.dct_wire.pack_ac_planes (parity-tested)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "ac_pack_nibble"):
+        raise RuntimeError("native ac_pack_nibble unavailable")
+    ac = np.ascontiguousarray(ac, dtype=np.int8)
+    nplanes = ac.shape[0]
+    elems = int(np.prod(ac.shape[1:], dtype=np.int64))
+    out = np.empty(((nplanes + 1) // 2,) + ac.shape[1:], np.uint8)
+    rc = lib.ac_pack_nibble(
+        ac.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)), nplanes, elems,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    if rc != 0:
+        raise ValueError(f"native ac_pack_nibble failed ({rc})")
+    return out
 
 
 def encoder_available() -> bool:

@@ -170,6 +170,7 @@ def create_dataloaders(
     wire: str = "rgb",
     wire_quality: int = 75,
     wire_keep_ac: int = 31,
+    wire_pack_from: int = 14,
 ) -> Dict[str, ClipLoader]:
     """Train/val/test loaders — the reference ``create_dataloaders`` surface
     (vivit_transformer/.../dataloader.py:52-135) for all five pipelines.
@@ -196,6 +197,7 @@ def create_dataloaders(
             wire=wire,
             wire_quality=wire_quality,
             wire_keep_ac=wire_keep_ac,
+            wire_pack_from=wire_pack_from,
         )
         loaders[split] = ClipLoader(
             ds,

@@ -173,6 +173,63 @@ def encode_clip_np(i420: np.ndarray, quality: int = DEFAULT_QUALITY,
     return dc, np.ascontiguousarray(ac.transpose(2, 0, 1))
 
 
+# Packed-wire default: plane statistics on real bench clips at quality 75
+# (BASELINE.md round-3 packed-wire study) show zigzag planes >= 14 are almost
+# entirely within the signed-4-bit range [-8, 7] (worst clamp fraction 2e-4),
+# so nibble-packing them halves their bytes at negligible extra loss. The
+# relay link hashes/compresses *raw* payload bytes on the single host core —
+# raw bytes, not information content, are what the packed wire removes.
+DEFAULT_PACK_FROM = 14
+
+
+def pack_ac_planes(ac: np.ndarray, pack_from: int = DEFAULT_PACK_FROM):
+    """Split AC planes (K, T, NB) int8 into (ac_hi (P,T,NB) int8,
+    ac_pk (ceil((K-P)/2), T, NB) uint8) — planes >= ``pack_from`` clamped to
+    [-8, 7] and nibble-packed pairwise (even plane -> low nibble). An odd
+    trailing plane pairs with an implicit zero plane."""
+    k = ac.shape[0]
+    p = max(0, min(int(pack_from), k))
+    hi8 = np.ascontiguousarray(ac[:p])
+    rest = ac[p:]
+    if rest.shape[0] == 0:
+        return hi8, np.zeros((0,) + ac.shape[1:], np.uint8)
+    from ..data import native
+
+    npairs = (rest.shape[0] + 1) // 2
+    if native.available() and hasattr(native, "ac_pack"):
+        return hi8, native.ac_pack(rest)
+    rest = np.clip(rest.astype(np.int16), -8, 7)
+    if rest.shape[0] % 2:
+        rest = np.concatenate(
+            [rest, np.zeros((1,) + rest.shape[1:], np.int16)])
+    packed = (rest[0::2] & 15) | ((rest[1::2] & 15) << 4)
+    assert packed.shape[0] == npairs
+    return hi8, packed.astype(np.uint8)
+
+
+def unpack_ac_planes(ac_hi: np.ndarray, ac_pk: np.ndarray,
+                     k_total: int) -> np.ndarray:
+    """Host inverse of :func:`pack_ac_planes` (tests/reference)."""
+    x = ac_pk.astype(np.int16)
+    lo = ((x & 15) ^ 8) - 8
+    hi = (((x >> 4) & 15) ^ 8) - 8
+    inter = np.stack([lo, hi], axis=1).reshape(
+        (2 * ac_pk.shape[0],) + ac_pk.shape[1:])
+    n_packed = k_total - ac_hi.shape[0]
+    return np.concatenate(
+        [ac_hi.astype(np.int16), inter[:n_packed]]).astype(np.int8)
+
+
+def encode_clip_packed(i420: np.ndarray, quality: int = DEFAULT_QUALITY,
+                       keep_ac: int = DEFAULT_KEEP_AC,
+                       pack_from: int = DEFAULT_PACK_FROM):
+    """Like :func:`encode_clip` but returns the packed wire triple
+    (dc int16 (T,NB), ac_hi int8 (P,T,NB), ac_pk uint8 (Q,T,NB))."""
+    dc, ac = encode_clip(i420, quality, keep_ac)
+    ac_hi, ac_pk = pack_ac_planes(ac, pack_from)
+    return dc, ac_hi, ac_pk
+
+
 _NATIVE_ENCODE_WARNED = False
 
 
@@ -225,6 +282,44 @@ def decode_to_rgb(dc: jax.Array, ac: jax.Array, h: int, w: int,
     coeffs = coeffs.at[0].set(dc.astype(jnp.float32))
     coeffs = coeffs.at[jnp.asarray(ZIGZAG[1:k + 1])].set(
         ac.astype(jnp.float32))
+    return _coeffs_to_rgb(coeffs, h, w, quality)
+
+
+@partial(jax.jit, static_argnames=("h", "w", "quality", "k_total"))
+def decode_to_rgb_packed(dc: jax.Array, ac_hi: jax.Array, ac_pk: jax.Array,
+                         h: int, w: int, quality: int = DEFAULT_QUALITY,
+                         k_total: int = DEFAULT_KEEP_AC) -> jax.Array:
+    """Packed-wire inverse of :func:`encode_clip_packed`: the first
+    ``ac_hi.shape[0]`` zigzag AC planes arrive int8, the remaining
+    ``k_total - P`` planes arrive nibble-packed pairwise in ``ac_pk`` uint8
+    (even plane -> low nibble, two's-complement signed 4-bit). The unpack is
+    three elementwise int ops that fuse into the decode graph — the wire
+    saves raw host->device bytes, the device pays ~nothing."""
+    nby, nbc, nb = block_geometry(h, w)
+    t = dc.shape[0]
+    p = ac_hi.shape[0]
+    coeffs = jnp.zeros((64, t, nb), jnp.float32)
+    coeffs = coeffs.at[0].set(dc.astype(jnp.float32))
+    if p:
+        coeffs = coeffs.at[jnp.asarray(ZIGZAG[1:p + 1])].set(
+            ac_hi.astype(jnp.float32))
+    n_packed = k_total - p
+    if n_packed:
+        x = ac_pk.astype(jnp.int32)
+        lo = ((x & 15) ^ 8) - 8           # signed 4-bit, low nibble
+        hi = (((x >> 4) & 15) ^ 8) - 8    # signed 4-bit, high nibble
+        inter = jnp.stack([lo, hi], axis=1).reshape(
+            (2 * ac_pk.shape[0], t, nb))[:n_packed]
+        coeffs = coeffs.at[jnp.asarray(ZIGZAG[p + 1:k_total + 1])].set(
+            inter.astype(jnp.float32))
+    return _coeffs_to_rgb(coeffs, h, w, quality)
+
+
+def _coeffs_to_rgb(coeffs: jax.Array, h: int, w: int,
+                   quality: int) -> jax.Array:
+    """Shared tail: dequant -> one (T*NB,64)@(64,64) IDCT matmul -> plane
+    reassembly -> BT.601 chroma expansion."""
+    nby, nbc, nb = block_geometry(h, w)
     scales = jnp.asarray(_dequant_scales(h, w, quality))      # (64, NB)
     coeffs = coeffs * scales[:, None, :]                      # (64, T, NB)
     pixels = jnp.einsum("ctn,cd->tnd", coeffs, jnp.asarray(_idct_kron()),

@@ -271,6 +271,7 @@ def decode_wire_batch(
     wire: str = "rgb",
     wire_hw: Optional[tuple] = None,
     wire_quality: int = 75,
+    wire_keep_ac: int = 31,
 ) -> Array:
     """In-graph head of the jitted step: wire payload -> RGB clip batch.
 
@@ -287,6 +288,10 @@ def decode_wire_batch(
       dct    (dc (B,T,NB) int16, ac (B,K,T,NB) int8) quantized DCT planes
              (preprocess/dct_wire.py; lossy, drift pinned in tests) —
              requires wire_hw=(h, w)
+      dctp   dct with zigzag planes >= pack_from nibble-packed pairwise
+             (dc, ac_hi (B,P,T,NB) int8, ac_pk (B,Q,T,NB) uint8) — fewer
+             raw payload bytes for links that hash/compress them; needs
+             wire_hw and wire_keep_ac (the total AC plane count K)
     Returns (B,T,H,W,3) uint8 (rgb) or float32 0-255 (decoded wires); every
     downstream preprocess regime accepts either.
     """
@@ -307,4 +312,15 @@ def decode_wire_batch(
         return jax.vmap(
             lambda d, a: decode_to_rgb(d, a, h, w, int(wire_quality))
         )(dc, ac)
+    if wire == "dctp":
+        from .dct_wire import decode_to_rgb_packed
+
+        if wire_hw is None:
+            raise ValueError("wire='dctp' needs wire_hw=(h, w) (static geometry)")
+        h, w = int(wire_hw[0]), int(wire_hw[1])
+        dc, ac_hi, ac_pk = pixel
+        return jax.vmap(
+            lambda d, a, p: decode_to_rgb_packed(
+                d, a, p, h, w, int(wire_quality), int(wire_keep_ac))
+        )(dc, ac_hi, ac_pk)
     raise ValueError(f"Unknown wire format {wire!r}")

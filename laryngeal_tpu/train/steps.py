@@ -50,13 +50,15 @@ def make_train_step(
     wire: str = "rgb",
     wire_hw=None,
     wire_quality: int = 75,
+    wire_keep_ac: int = 31,
 ) -> Callable:
     """Returns train_step(state, pixel_u8, labels, mask, rng) -> (state, metrics).
 
     ``wire`` selects the host->device payload format of ``pixel_u8``
-    (rgb | i420 | delta | dct — see preprocess.transforms.decode_wire_batch);
-    the in-graph decode fuses into this step. 'dct' ships a (dc, ac) tuple
-    and needs the static geometry ``wire_hw=(h, w)``.
+    (rgb | i420 | delta | dct | dctp — see
+    preprocess.transforms.decode_wire_batch); the in-graph decode fuses into
+    this step. 'dct' ships a (dc, ac) tuple ('dctp' (dc, ac_hi, ac_pk)) and
+    needs the static geometry ``wire_hw=(h, w)``.
 
     tp=True leaves the state's shardings unconstrained so tensor-parallel
     (model-axis) param shardings applied via parallel.tp.shard_train_state
@@ -110,7 +112,8 @@ def make_train_step(
 
         if grad_accum == 1:
             clips = batch_preprocess(
-                decode_wire_batch(pixel_u8, wire, wire_hw, wire_quality),
+                decode_wire_batch(pixel_u8, wire, wire_hw, wire_quality,
+                                  wire_keep_ac),
                 regime, train=augment, key=aug_rng,
                 crop=crop,
             )
@@ -153,7 +156,8 @@ def make_train_step(
                 px_i, lb_i, mk_i, i = xs
                 px_i = _constrain(px_i, data_shard)
                 clips = batch_preprocess(
-                    decode_wire_batch(px_i, wire, wire_hw, wire_quality),
+                    decode_wire_batch(px_i, wire, wire_hw, wire_quality,
+                                      wire_keep_ac),
                     regime, train=augment,
                     key=jax.random.fold_in(aug_rng, i), crop=crop,
                 )
@@ -219,14 +223,15 @@ def make_train_step(
 def make_eval_step(model, regime: str, loss: str, pos_weight: float = 1.0,
                    mesh=None, crop: int = 224, tp: bool = False,
                    wire: str = "rgb", wire_hw=None,
-                   wire_quality: int = 75) -> Callable:
+                   wire_quality: int = 75, wire_keep_ac: int = 31) -> Callable:
     """Returns eval_step(state, pixel_u8, labels, mask) -> metrics (incl. probs)."""
     loss_fn = make_loss_fn(loss, pos_weight)
     get_probs = probs_fn(loss)
 
     def step(state: TrainState, pixel_u8, labels, mask):
         clips = batch_preprocess(
-            decode_wire_batch(pixel_u8, wire, wire_hw, wire_quality),
+            decode_wire_batch(pixel_u8, wire, wire_hw, wire_quality,
+                                  wire_keep_ac),
             regime, train=False, crop=crop)
         variables = {"params": state.params}
         if state.batch_stats:

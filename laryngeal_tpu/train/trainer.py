@@ -118,11 +118,12 @@ class Trainer:
         # dataset owns the choice — see VideoDataset(wire=...)).
         wire = getattr(train_ds, "wire", "rgb")
         wire_hw = None
-        if wire == "dct":
+        if wire in ("dct", "dctp"):
             rt = train_ds.resize_to or (224, 224)
             wire_hw = (rt[1], rt[0])  # resize_to is (w, h); decode wants (h, w)
         wire_kw = dict(wire=wire, wire_hw=wire_hw,
-                       wire_quality=getattr(train_ds, "wire_quality", 75))
+                       wire_quality=getattr(train_ds, "wire_quality", 75),
+                       wire_keep_ac=getattr(train_ds, "wire_keep_ac", 31))
         self.train_step = make_train_step(
             model, spec.preprocess_regime, spec.loss, self.pos_weight, mesh,
             crop=self.crop, grad_accum=int(config.get("grad_accum_steps", 1)),

@@ -243,6 +243,39 @@ int clip_dct_encode(const uint8_t* i420, int n, int h, int w, int quality,
   return clip_dct_encode_k(i420, n, h, w, quality, 63, dc_out, ac_out);
 }
 
+// Nibble-pack high-frequency AC planes: `ac` is (nplanes, elems) int8
+// plane-major; pairs of consecutive planes are clamped to the signed 4-bit
+// range [-8, 7] and packed low-nibble/high-nibble into one uint8 plane of
+// `out` ((nplanes+1)/2, elems). An odd trailing plane pairs with an implicit
+// zero plane. The host->device relay hashes/compresses the *raw* payload
+// bytes on the single host core (BASELINE.md round-3 stall attribution), so
+// halving the bytes of planes that are almost entirely in [-8,7] buys real
+// end-to-end throughput at a measured, bounded clamp loss.
+int ac_pack_nibble(const int8_t* ac, int nplanes, long long elems,
+                   uint8_t* out) {
+  if (nplanes < 0 || elems < 0) return -1;
+  const int pairs = (nplanes + 1) / 2;
+  for (int j = 0; j < pairs; ++j) {
+    const int8_t* lo = ac + (size_t)(2 * j) * elems;
+    const int8_t* hi =
+        (2 * j + 1 < nplanes) ? ac + (size_t)(2 * j + 1) * elems : nullptr;
+    uint8_t* dst = out + (size_t)j * elems;
+    if (hi) {
+      for (long long e = 0; e < elems; ++e) {
+        int a = lo[e] < -8 ? -8 : (lo[e] > 7 ? 7 : lo[e]);
+        int b = hi[e] < -8 ? -8 : (hi[e] > 7 ? 7 : hi[e]);
+        dst[e] = (uint8_t)((a & 15) | ((b & 15) << 4));
+      }
+    } else {
+      for (long long e = 0; e < elems; ++e) {
+        int a = lo[e] < -8 ? -8 : (lo[e] > 7 ? 7 : lo[e]);
+        dst[e] = (uint8_t)(a & 15);
+      }
+    }
+  }
+  return 0;
+}
+
 }  // extern "C"
 
 extern "C" {

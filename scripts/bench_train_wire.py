@@ -47,7 +47,7 @@ def build_state_and_steps(wire: str):
         optimizer=spec.optimizer, learning_rate=1e-3, weight_decay=0.01)
     step = make_train_step(
         model, spec.preprocess_regime, spec.loss, crop=CROP, wire=wire,
-        wire_hw=(CROP, CROP) if wire == "dct" else None)
+        wire_hw=(CROP, CROP) if wire in ("dct", "dctp") else None)
     return state, step
 
 
@@ -56,6 +56,10 @@ def encode(clip_i420: np.ndarray, wire: str):
         raise AssertionError("rgb arm decodes rgb directly")
     if wire == "i420":
         return clip_i420
+    if wire == "dctp":
+        from laryngeal_tpu.preprocess.dct_wire import encode_clip_packed
+
+        return encode_clip_packed(clip_i420, 75, 31, 14)
     if wire == "dct":
         from laryngeal_tpu.preprocess.dct_wire import encode_clip
 
@@ -89,7 +93,8 @@ def run_pass(paths, state, step, wire: str, seed: int):
                 if len(batch) == BATCH:
                     if isinstance(batch[0], tuple):
                         q_dec.put(tuple(
-                            np.stack([b[k] for b in batch]) for k in range(2)))
+                            np.stack([b[k] for b in batch])
+                            for k in range(len(batch[0]))))
                     else:
                         q_dec.put(np.stack(batch))
                     batch = []

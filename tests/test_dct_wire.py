@@ -157,3 +157,71 @@ def test_model_probability_drift_is_small():
     dc, ac = dw.encode_clip_np(clip, 87)
     p_dct = np.asarray(probs(dw.decode_to_rgb(dc, ac, 64, 64, 87)))
     assert np.abs(p_raw - p_dct).max() < 0.05, (p_raw, p_dct)
+
+
+def test_pack_ac_planes_roundtrip_and_shapes():
+    clip = _synth_i420(t=4, seed=13)
+    dc, ac = dw.encode_clip_np(clip, 75, 31)
+    hi8, pk = dw.pack_ac_planes(ac, 14)
+    assert hi8.shape == (14,) + ac.shape[1:] and hi8.dtype == np.int8
+    assert pk.shape == ((31 - 14 + 1) // 2,) + ac.shape[1:]
+    assert pk.dtype == np.uint8
+    un = dw.unpack_ac_planes(hi8, pk, 31)
+    clamped = np.concatenate(
+        [ac[:14], np.clip(ac[14:].astype(np.int16), -8, 7).astype(np.int8)])
+    np.testing.assert_array_equal(un, clamped)
+    # pack_from >= K degenerates to the unpacked wire
+    hi_all, pk_none = dw.pack_ac_planes(ac, 99)
+    np.testing.assert_array_equal(hi_all, ac)
+    assert pk_none.shape[0] == 0
+    np.testing.assert_array_equal(dw.unpack_ac_planes(hi_all, pk_none, 31), ac)
+    # pack_from 0 packs everything (odd count -> implicit zero pad plane)
+    hi_none, pk_all = dw.pack_ac_planes(ac, 0)
+    assert hi_none.shape[0] == 0 and pk_all.shape[0] == 16
+    np.testing.assert_array_equal(
+        dw.unpack_ac_planes(hi_none, pk_all, 31),
+        np.clip(ac.astype(np.int16), -8, 7).astype(np.int8))
+
+
+def test_native_ac_pack_matches_numpy():
+    from laryngeal_tpu.data import native
+
+    if not (native.available() and hasattr(native, "ac_pack")):
+        pytest.skip("native ac_pack unavailable")
+    rng = np.random.default_rng(3)
+    # full int8 range exercises the clamp on both sides, odd plane count
+    # exercises the implicit zero pad
+    ac = rng.integers(-128, 128, (17, 4, 96)).astype(np.int8)
+    got = native.ac_pack(ac)
+    r = np.clip(ac.astype(np.int16), -8, 7)
+    r = np.concatenate([r, np.zeros((1,) + r.shape[1:], np.int16)])
+    ref = ((r[0::2] & 15) | ((r[1::2] & 15) << 4)).astype(np.uint8)
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_packed_device_decode_matches_clamped_full_decode():
+    clip = _synth_i420(t=4, seed=17)
+    dc, ac = dw.encode_clip_np(clip, 75, 31)
+    hi8, pk = dw.pack_ac_planes(ac, 14)
+    rgb_packed = np.asarray(
+        dw.decode_to_rgb_packed(dc, hi8, pk, 64, 64, 75, 31))
+    clamped = np.concatenate(
+        [ac[:14], np.clip(ac[14:].astype(np.int16), -8, 7).astype(np.int8)])
+    rgb_full = np.asarray(dw.decode_to_rgb(dc, clamped, 64, 64, 75))
+    np.testing.assert_array_equal(rgb_packed, rgb_full)
+
+
+def test_packed_wire_extra_drift_is_negligible():
+    """The packed wire's only extra loss vs dct is the [-8,7] clamp on
+    planes >= pack_from; at q75/pack14 the clamped fraction on real content
+    is ~2e-4 (BASELINE.md plane stats) and even on synthetic noise the pixel
+    drift it adds over the unpacked dct wire stays tiny."""
+    clip = _synth_i420(t=4, seed=19)
+    dc, ac = dw.encode_clip_np(clip, 75, 31)
+    hi8, pk = dw.pack_ac_planes(ac, 14)
+    rgb_dct = np.asarray(dw.decode_to_rgb(dc, ac, 64, 64, 75))
+    rgb_pk = np.asarray(dw.decode_to_rgb_packed(dc, hi8, pk, 64, 64, 75, 31))
+    # noise content clamps ~6% of packed-plane values; real video ~2e-4.
+    # Even so the added error is bounded by the clamp magnitude x quant step.
+    assert np.abs(rgb_pk - rgb_dct).mean() < 2.0
+    assert np.abs(rgb_pk - rgb_dct).max() < 80.0

@@ -49,6 +49,11 @@ def test_wire_payload_shapes(synth_dir):
     nb = (64 // 8) ** 2 + 2 * (64 // 16) ** 2
     assert dc.shape == (2, 4, nb) and dc.dtype == np.int16
     assert ac.shape == (2, 31, 4, nb) and ac.dtype == np.int8
+    batch = next(iter(_loaders(synth_dir, "dctp")["train"]))
+    dc, ac_hi, ac_pk = batch["pixel_values"]
+    assert dc.shape == (2, 4, nb) and dc.dtype == np.int16
+    assert ac_hi.shape == (2, 14, 4, nb) and ac_hi.dtype == np.int8
+    assert ac_pk.shape == (2, 9, 4, nb) and ac_pk.dtype == np.uint8
 
 
 def test_i420_wire_decode_matches_host_rgb(synth_dir):
@@ -92,7 +97,7 @@ def _state_for(model):
         optimizer="adamw", learning_rate=1e-3, weight_decay=0.01)
 
 
-@pytest.mark.parametrize("wire", ["i420", "delta", "dct"])
+@pytest.mark.parametrize("wire", ["i420", "delta", "dct", "dctp"])
 def test_train_and_eval_step_per_wire(synth_dir, wire):
     import jax
 
@@ -101,7 +106,8 @@ def test_train_and_eval_step_per_wire(synth_dir, wire):
 
     model = _tiny_vivit()
     state = _state_for(model)
-    kw = dict(wire=wire, wire_hw=(64, 64) if wire == "dct" else None)
+    kw = dict(wire=wire,
+              wire_hw=(64, 64) if wire in ("dct", "dctp") else None)
     train_step = make_train_step(model, "vivit", "ce", crop=64, **kw)
     eval_step = make_eval_step(model, "vivit", "ce", crop=64, **kw)
     batch = next(iter(_loaders(synth_dir, wire)["train"]))
@@ -125,9 +131,10 @@ def test_wire_loss_parity(synth_dir):
     model = _tiny_vivit()
     state = _state_for(model)
     losses = {}
-    for wire in ("rgb", "i420", "delta", "dct"):
-        step = make_eval_step(model, "vivit", "ce", crop=64, wire=wire,
-                              wire_hw=(64, 64) if wire == "dct" else None)
+    for wire in ("rgb", "i420", "delta", "dct", "dctp"):
+        step = make_eval_step(
+            model, "vivit", "ce", crop=64, wire=wire,
+            wire_hw=(64, 64) if wire in ("dct", "dctp") else None)
         batch = next(iter(_loaders(synth_dir, wire)["val"]))
         pixel, labels, mask = prepare_batch(batch)
         losses[wire] = float(step(state, pixel, labels, mask)["loss"])
@@ -136,6 +143,9 @@ def test_wire_loss_parity(synth_dir):
     assert losses["i420"] == pytest.approx(losses["delta"], abs=1e-5)
     assert losses["i420"] == pytest.approx(losses["rgb"], abs=0.05)
     assert losses["dct"] == pytest.approx(losses["i420"], abs=0.1)
+    # the packed wire's extra loss over dct is only the [-8,7] clamp on
+    # planes >= 14 — near-identical losses
+    assert losses["dctp"] == pytest.approx(losses["dct"], abs=0.02)
 
 
 def test_dct_wire_grad_accum_and_mesh(synth_dir):
@@ -191,14 +201,14 @@ def test_placeholder_clip_per_wire(synth_dir):
     reference's robustness contract, vivit dataset.py:370-381)."""
     from laryngeal_tpu.data.dataset import VideoDataset
 
-    for wire in ("rgb", "i420", "dct"):
+    for wire in ("rgb", "i420", "dct", "dctp"):
         ds = VideoDataset(synth_dir, mode="train", num_frames=4,
                           resize_to=(64, 64), wire=wire)
         item = ds.materialize({"video_path": "missing.mp4", "label": 0,
                                "frame_indices": None})
         assert item["frame_indices"] == []
         pv = item["pixel_values"]
-        if wire == "dct":
+        if wire in ("dct", "dctp"):
             assert isinstance(pv, tuple) and pv[0].shape[0] == 4
         else:
             assert pv.shape[0] == 4
