@@ -45,6 +45,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 from pathlib import Path
 
@@ -89,12 +90,31 @@ DCT_KEEP = int(os.environ.get("BENCH_DCT_KEEP", "31"))
 DCT_PACK_FROM = int(os.environ.get("BENCH_DCT_PACK_FROM", "14"))
 
 
+def wire_params(wire: str):
+    """Parse a wire spec into ``(kind, quality, keep_ac, pack_from)``.
+
+    Plain names ("raw", "delta", "dct", "dctp") use the BENCH_DCT_* env
+    defaults; a parameterized spec like ``dctp@q75k23p8`` (or ``dct@q60k31``)
+    overrides them per arm — this is what lets BENCH_WIRE_AB_ARMS compare
+    wire PARAMETERS inside one relay session, so session weather hits all
+    arms equally."""
+    if "@" not in wire:
+        return wire, DCT_QUALITY, DCT_KEEP, DCT_PACK_FROM
+    kind, spec = wire.split("@", 1)
+    m = re.fullmatch(r"q(\d+)k(\d+)(?:p(\d+))?", spec)
+    if kind not in ("dct", "dctp") or m is None:
+        raise ValueError(f"bad wire spec {wire!r} (want e.g. dctp@q75k23p8)")
+    return (kind, int(m.group(1)), int(m.group(2)),
+            int(m.group(3)) if m.group(3) else DCT_PACK_FROM)
+
+
 def _dct_planes_per_block(wire: str) -> float:
     """Wire bytes per 8x8 block (DC int16 + AC payload planes)."""
-    if wire == "dctp":
-        p = min(DCT_PACK_FROM, DCT_KEEP)
-        return 2 + p + (DCT_KEEP - p + 1) // 2
-    return 2 + DCT_KEEP
+    kind, _, keep, pack = wire_params(wire)
+    if kind == "dctp":
+        p = min(pack, keep)
+        return 2 + p + (keep - p + 1) // 2
+    return 2 + keep
 
 
 def vivit_b_fwd_tflops_per_clip() -> float:
@@ -151,6 +171,7 @@ def make_forward(model, wire: str = None):
         batch_preprocess, temporal_delta_decode, yuv420_to_rgb)
 
     wire = wire or WIRE
+    kind, quality, keep, _ = wire_params(wire)
 
     @jax.jit
     def forward(params, payload):
@@ -161,16 +182,16 @@ def make_forward(model, wire: str = None):
         # content compression moves those ~4x faster; bounded loss). dctp
         # additionally nibble-packs the high-frequency planes (fewer raw
         # bytes for the relay to hash/compress on the 1-core host).
-        if wire == "dctp":
+        if kind == "dctp":
             dc, ac_hi, ac_pk = payload
             rgb = jax.vmap(
                 lambda d, h_, p_: decode_to_rgb_packed(
-                    d, h_, p_, CROP, CROP, DCT_QUALITY, DCT_KEEP)
+                    d, h_, p_, CROP, CROP, quality, keep)
             )(dc, ac_hi, ac_pk)
-        elif wire == "dct":
+        elif kind == "dct":
             dc, ac = payload
             rgb = jax.vmap(
-                lambda d, a: decode_to_rgb(d, a, CROP, CROP, DCT_QUALITY)
+                lambda d, a: decode_to_rgb(d, a, CROP, CROP, quality)
             )(dc, ac)
         else:
             clips_yuv = payload
@@ -197,10 +218,11 @@ def warmup_relay(forward, params, wire: str = None):
 
     rng0 = np.random.default_rng(123)
     wire = wire or WIRE
-    if wire == "dctp":
+    kind, _, keep, pack = wire_params(wire)
+    if kind == "dctp":
         nb = _dct_geometry()
-        p = min(DCT_PACK_FROM, DCT_KEEP)
-        q = (DCT_KEEP - p + 1) // 2
+        p = min(pack, keep)
+        q = (keep - p + 1) // 2
         dummy = (
             jnp.asarray(rng0.integers(-300, 300, (BATCH, NUM_FRAMES, nb),
                                       dtype=np.int16)),
@@ -209,13 +231,13 @@ def warmup_relay(forward, params, wire: str = None):
             jnp.asarray(rng0.integers(0, 256, (BATCH, q, NUM_FRAMES, nb)
                                       ).astype(np.uint8)),
         )
-    elif wire == "dct":
+    elif kind == "dct":
         nb = _dct_geometry()
         dummy = (
             jnp.asarray(rng0.integers(-300, 300, (BATCH, NUM_FRAMES, nb),
                                       dtype=np.int16)),
             jnp.asarray(rng0.integers(-128, 128,
-                                      (BATCH, DCT_KEEP, NUM_FRAMES, nb)
+                                      (BATCH, keep, NUM_FRAMES, nb)
                                       ).astype(np.int8)),
         )
     else:
@@ -231,15 +253,16 @@ def bench_decode_only(paths, sampler_seed=0, wire: str = None) -> float:
     from laryngeal_tpu.preprocess.dct_wire import encode_clip, encode_clip_packed
 
     wire = wire or WIRE
+    kind, quality, keep, pack = wire_params(wire)
     sampler = FrameSampler("random", NUM_FRAMES, seed=sampler_seed + 7)
     t0 = time.perf_counter()
     for p in paths:
         clip = decode_frames_auto(p, sampler(str(p), 96),
                                   resize_to=(CROP, CROP), fmt="i420")
-        if wire == "dctp":  # dct arms pay their host-side fDCT (+pack) here
-            encode_clip_packed(clip, DCT_QUALITY, DCT_KEEP, DCT_PACK_FROM)
-        elif wire == "dct":
-            encode_clip(clip, DCT_QUALITY, DCT_KEEP)
+        if kind == "dctp":  # dct arms pay their host-side fDCT (+pack) here
+            encode_clip_packed(clip, quality, keep, pack)
+        elif kind == "dct":
+            encode_clip(clip, quality, keep)
     return len(paths) / (time.perf_counter() - t0)
 
 
@@ -285,22 +308,21 @@ def bench_transfer(paths=None, wire: str = None) -> dict:
             rate_of(lambda it: rng.integers(0, 255, shape, dtype=np.uint8)), 1),
         "h2d_latency_s": round(latency, 3),
     }
-    if (wire or WIRE) in ("dct", "dctp") and paths:
+    w_kind, w_q, w_k, w_p = wire_params(wire or WIRE)
+    if w_kind in ("dct", "dctp") and paths:
         from laryngeal_tpu.data.native import decode_frames_auto
         from laryngeal_tpu.data.samplers import FrameSampler
         from laryngeal_tpu.preprocess.dct_wire import (
             encode_clip, encode_clip_packed)
 
-        w = wire or WIRE
         sampler = FrameSampler("uniform", NUM_FRAMES, seed=42)
 
         def enc1(p):
             clip = decode_frames_auto(p, sampler(str(p), 96),
                                       resize_to=(CROP, CROP), fmt="i420")
-            if w == "dctp":
-                return encode_clip_packed(clip, DCT_QUALITY, DCT_KEEP,
-                                          DCT_PACK_FROM)
-            return encode_clip(clip, DCT_QUALITY, DCT_KEEP)
+            if w_kind == "dctp":
+                return encode_clip_packed(clip, w_q, w_k, w_p)
+            return encode_clip(clip, w_q, w_k)
 
         enc = [enc1(p) for p in paths[:BATCH]]
         arrays = tuple(np.stack([e[i] for e in enc])
@@ -333,10 +355,11 @@ def bench_compute_only(forward, params) -> float:
 
     K, ITERS = 4, 12
     rng = np.random.default_rng(7)
-    if WIRE == "dctp":
+    w_kind, _, w_keep, w_pack = wire_params(WIRE)
+    if w_kind == "dctp":
         nb = _dct_geometry()
-        p = min(DCT_PACK_FROM, DCT_KEEP)
-        q = (DCT_KEEP - p + 1) // 2
+        p = min(w_pack, w_keep)
+        q = (w_keep - p + 1) // 2
         batches = (
             jnp.asarray(rng.integers(-300, 300, (K, BATCH, NUM_FRAMES, nb),
                                      dtype=np.int16)),
@@ -345,7 +368,7 @@ def bench_compute_only(forward, params) -> float:
             jnp.asarray(rng.integers(
                 0, 256, (K, BATCH, q, NUM_FRAMES, nb)).astype(np.uint8)),
         )
-    elif WIRE == "dct":
+    elif w_kind == "dct":
         # Stage wire-format payloads so compute-only includes the on-device
         # dequant+IDCT (it is part of the real decode->logits graph).
         nb = _dct_geometry()
@@ -353,7 +376,7 @@ def bench_compute_only(forward, params) -> float:
             jnp.asarray(rng.integers(-300, 300, (K, BATCH, NUM_FRAMES, nb),
                                      dtype=np.int16)),
             jnp.asarray(rng.integers(
-                -128, 128, (K, BATCH, DCT_KEEP, NUM_FRAMES, nb)
+                -128, 128, (K, BATCH, w_keep, NUM_FRAMES, nb)
             ).astype(np.int8)),
         )
     else:
@@ -461,6 +484,7 @@ def bench_tpu(paths, forward, params, pass_seed: int = 0,
     from laryngeal_tpu.data.samplers import FrameSampler
 
     wire = wire or WIRE
+    kind, quality, keep, pack = wire_params(wire)
 
     # pass_seed 0 = the nominal uniform-sampling pass; later passes draw
     # seeded random indices so their transfer payloads are NOT byte-identical
@@ -507,13 +531,12 @@ def bench_tpu(paths, forward, params, pass_seed: int = 0,
             for p in paths:
                 clip = decode_frames_auto(p, sampler(str(p), 96),
                                           resize_to=(CROP, CROP), fmt="i420")
-                if wire == "delta":
+                if kind == "delta":
                     clip = temporal_delta_encode(clip)
-                elif wire == "dctp":
-                    clip = encode_clip_packed(clip, DCT_QUALITY, DCT_KEEP,
-                                              DCT_PACK_FROM)
-                elif wire == "dct":
-                    clip = encode_clip(clip, DCT_QUALITY, DCT_KEEP)
+                elif kind == "dctp":
+                    clip = encode_clip_packed(clip, quality, keep, pack)
+                elif kind == "dct":
+                    clip = encode_clip(clip, quality, keep)
                 batch.append(clip)
                 if len(batch) == BATCH:
                     q_dec.put(stack_batch(batch))
@@ -656,7 +679,8 @@ def main():
     # bytes/clip and the transfer rate both depend on the wire format: dct
     # ships ~half the bytes (DC int16 + DCT_KEEP int8 AC planes) and moves
     # at the measured effective (content-compressed) rate.
-    if WIRE in ("dct", "dctp"):
+    wire_kind, wire_q, wire_k, wire_p = wire_params(WIRE)
+    if wire_kind in ("dct", "dctp"):
         nb = _dct_geometry()
         clip_mb = NUM_FRAMES * nb * _dct_planes_per_block(WIRE) / 1e6
         xfer_rate = xfer.get("h2d_mbps_payload", xfer["h2d_mbps"])
@@ -710,13 +734,13 @@ def main():
         breakdown["host_cpu_s_best_pass"] = {
             **c, "wall_s": round(bstat["wall_s"], 2),
             "stall_s": round(bstat["wall_s"] - sum(c.values()), 2)}
-    if WIRE == "dct":
+    if wire_kind == "dct":
         breakdown["wire"] = (
-            f"dct q{DCT_QUALITY} keep{DCT_KEEP} (lossy: max softmax drift "
+            f"dct q{wire_q} keep{wire_k} (lossy: max softmax drift "
             f"0.004 measured vs lossless; BENCH_WIRE=delta for bit-exact)")
-    elif WIRE == "dctp":
+    elif wire_kind == "dctp":
         breakdown["wire"] = (
-            f"dctp q{DCT_QUALITY} keep{DCT_KEEP} pack{DCT_PACK_FROM} "
+            f"dctp q{wire_q} keep{wire_k} pack{wire_p} "
             f"(dct + nibble-packed high-frequency planes; "
             f"BENCH_WIRE=delta for bit-exact)")
     else:

@@ -153,6 +153,9 @@ def build_parser(model_default: str = None) -> argparse.ArgumentParser:
                         "dct bytes) — the decode fuses into the jitted step")
     p.add_argument("--wire_quality", type=int, default=75,
                    help="dct wire quantizer quality (1-100)")
+    p.add_argument("--wire_keep_ac", type=int, default=31,
+                   help="dct/dctp wire: zigzag AC planes kept (<=63); fewer "
+                        "planes = fewer wire bytes at more quantization loss")
     p.add_argument("--wire_pack_from", type=int, default=14,
                    help="dctp wire: first zigzag AC plane to nibble-pack "
                         "(planes >= this are clamped to [-8,7]; 14 is "
@@ -273,6 +276,7 @@ def run(args) -> dict:
         num_workers=args.decode_workers,
         wire=args.wire,
         wire_quality=args.wire_quality,
+        wire_keep_ac=args.wire_keep_ac,
         wire_pack_from=args.wire_pack_from,
     )
     for split in ("train", "val", "test"):
