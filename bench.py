@@ -65,29 +65,34 @@ PEAK_TFLOPS = float(os.environ.get("BENCH_PEAK_TFLOPS", "197"))  # v5e bf16
 #           bounded loss at BENCH_DCT_QUALITY (pinned in tests/test_dct_wire.py
 #           and measured per-session in the wire A/B)
 #
-# Default: dctp — dct at quality 75 keeping 31/63 AC planes, with zigzag
-# planes >= 14 nibble-packed (4-bit signed). Measured (BASELINE.md round-3
-# DCT wire study): dct beat delta in every matched e2e pair (median 17.81 vs
-# 15.52), and the round-3 packed-wire A/B (5 interleaved pass pairs, one
-# session) had dctp beating dct in EVERY pair — median 22.60 vs 20.76
-# (+8.9%) — because the relay hashes/compresses raw payload bytes on the
-# single host core, and packing removes 24% of them. Max softmax-probability
-# drift vs lossless on real clips: dct 0.0036, dctp 0.0038 (the pack adds
-# 4e-4) — the source videos are already H.264 lossy; shipping
-# transform-coded frames is the standard serving wire. BENCH_WIRE=delta
-# restores the bit-exact lossless wire.
+# Default: dctp q75 keep15 pack8 — dct at quality 75 keeping 15/63 AC
+# planes, zigzag planes >= 8 nibble-packed (4-bit signed): 14 byte-planes
+# per 8x8 block = 0.53 MB/clip, 44% fewer wire bytes than the round-3
+# k31p14 arm. Measured (BASELINE.md round-3 DCT wire study, interleaved
+# same-session A/B, 5 rounds each): dct beat delta in every matched pair
+# (median 17.81 vs 15.52); dctp k31p14 beat dct in every pair (22.60 vs
+# 20.76); k15p8 beat k31p14 in every pair (median 27.34 vs 23.63, +15.7%)
+# — the relay hashes/compresses raw payload bytes on the single host core,
+# so raw bytes are the lever. Loss accounting on real clips
+# (scripts/probe_wire_drift.py): max softmax-probability drift vs lossless
+# — k31p14 0.0038, k23p8 0.0048, k15p8 0.0059 (mean 0.0028); PSNR 24.9 vs
+# 25.6 dB — all far below the decision-boundary scale, and the source
+# videos are already H.264 lossy. BENCH_WIRE=delta restores the bit-exact
+# lossless wire; BENCH_DCT_KEEP=31 BENCH_DCT_PACK_FROM=14 the near-lossless
+# transform wire.
 WIRE = os.environ.get("BENCH_WIRE", "dctp")
 DCT_QUALITY = int(os.environ.get("BENCH_DCT_QUALITY", "75"))
-# AC planes kept (zigzag order, <=63): truncating to 31 halves the payload
-# at quality<=80 where the high-frequency planes are almost entirely zero.
-DCT_KEEP = int(os.environ.get("BENCH_DCT_KEEP", "31"))
+# AC planes kept (zigzag order, <=63): high-frequency planes at q75 are
+# almost entirely zero; truncation trades measured drift for bytes.
+DCT_KEEP = int(os.environ.get("BENCH_DCT_KEEP", "15"))
 # "dctp" wire: like dct but zigzag planes >= BENCH_DCT_PACK_FROM are clamped
 # to signed 4-bit and nibble-packed pairwise (preprocess/dct_wire.py
 # pack_ac_planes) — the relay hashes/compresses RAW payload bytes on the
 # single host core (BASELINE.md stall attribution), so fewer raw bytes cut
-# the stall AND the transfer. Plane stats at q75 put planes >= 14 almost
-# entirely in [-8,7] (worst clamp fraction 2e-4 on bench clips).
-DCT_PACK_FROM = int(os.environ.get("BENCH_DCT_PACK_FROM", "14"))
+# the stall AND the transfer. Plane stats at q75: planes >= 14 essentially
+# never clamp (<=2e-4); planes 8-13 clamp 0.05-0.26% (drift included in the
+# loss accounting above).
+DCT_PACK_FROM = int(os.environ.get("BENCH_DCT_PACK_FROM", "8"))
 
 
 def wire_params(wire: str):
@@ -741,8 +746,9 @@ def main():
     elif wire_kind == "dctp":
         breakdown["wire"] = (
             f"dctp q{wire_q} keep{wire_k} pack{wire_p} "
-            f"(dct + nibble-packed high-frequency planes; "
-            f"BENCH_WIRE=delta for bit-exact)")
+            f"(dct + nibble-packed AC planes; max softmax drift vs "
+            f"lossless 0.006 at k15p8 / 0.004 at k31p14 — "
+            f"scripts/probe_wire_drift.py; BENCH_WIRE=delta for bit-exact)")
     else:
         breakdown["wire"] = WIRE
 
