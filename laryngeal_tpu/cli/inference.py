@@ -42,6 +42,16 @@ def build_parser(model_default=None) -> argparse.ArgumentParser:
     p.add_argument("--image_size", type=int, default=None)
     p.add_argument("--batch_size", type=int, default=4)
     p.add_argument("--save_viz", action="store_true")
+    p.add_argument("--wire", type=str, default="rgb",
+                   choices=("rgb", "i420", "delta", "dct", "dctp"),
+                   help="host->device payload format for the clip transfer "
+                        "(checkpoint-backed predictor only; dct/dctp are "
+                        "lossy transform-coded wires — drift pinned in "
+                        "BASELINE.md; the in-graph decode fuses into the "
+                        "jitted forward)")
+    p.add_argument("--wire_quality", type=int, default=75)
+    p.add_argument("--wire_keep_ac", type=int, default=31)
+    p.add_argument("--wire_pack_from", type=int, default=14)
     p.add_argument("--compile_cache_dir", type=str, default=None,
                    help="Persistent XLA compilation cache (also via "
                         "LARYNGEAL_COMPILE_CACHE_DIR)")
@@ -73,7 +83,8 @@ def main(argv=None, model_default=None):
         # The artifact bakes sampling/shape decisions at export time.
         overridden = [f for f, d in (("--sampling_method", "uniform"),
                                      ("--num_frames", None),
-                                     ("--crop_size", None))
+                                     ("--crop_size", None),
+                                     ("--wire", "rgb"))
                       if getattr(args, f[2:]) not in (d, None)]
         if overridden:
             logger.warning(
@@ -96,6 +107,10 @@ def main(argv=None, model_default=None):
             hidden_size=args.hidden_size,
             num_layers=args.num_layers,
             logger=logger,
+            wire=args.wire,
+            wire_quality=args.wire_quality,
+            wire_keep_ac=args.wire_keep_ac,
+            wire_pack_from=args.wire_pack_from,
         )
 
     results_dir = exp_dir / "inference_results"

@@ -45,6 +45,15 @@ def build_parser(model_default=None) -> argparse.ArgumentParser:
     p.add_argument("--crop_size", type=int, default=None)
     p.add_argument("--image_size", type=int, default=None)
     p.add_argument("--log_dir", type=str, default="logs")
+    p.add_argument("--wire", type=str, default="rgb",
+                   choices=("rgb", "i420", "delta", "dct", "dctp"),
+                   help="host->device payload format for the clip transfer "
+                        "(checkpoint-backed predictor only; dct/dctp are "
+                        "lossy transform-coded wires — drift pinned in "
+                        "BASELINE.md)")
+    p.add_argument("--wire_quality", type=int, default=75)
+    p.add_argument("--wire_keep_ac", type=int, default=31)
+    p.add_argument("--wire_pack_from", type=int, default=14)
     p.add_argument("--compile_cache_dir", type=str, default=None,
                    help="Persistent XLA compilation cache (also via "
                         "LARYNGEAL_COMPILE_CACHE_DIR) — restarts of the "
@@ -86,6 +95,10 @@ def main(argv=None, model_default=None):
             hidden_size=args.hidden_size,
             num_layers=args.num_layers,
             logger=logger,
+            wire=args.wire,
+            wire_quality=args.wire_quality,
+            wire_keep_ac=args.wire_keep_ac,
+            wire_pack_from=args.wire_pack_from,
         )
     # Compile the serving shape AND pay the relay's first-large-transfer
     # session warmup before accepting traffic (random bytes, not zeros —

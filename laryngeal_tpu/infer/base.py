@@ -5,9 +5,11 @@ Everything here touches only sampling, decode, batching, and the result
 schema — no model zoo, converters, or training stack — so the AOT-artifact
 path (``infer.export``) can serve with just this module, jax, and cv2.
 Subclasses provide: ``state`` (with ``params``/``batch_stats`` attributes,
-may be ``None`` placeholders), ``_forward(params, batch_stats, pixel_u8)``,
-``sampler``, ``class_labels``, ``num_frames``, ``sampling_method``,
-``crop_size``, ``logger``.
+may be ``None`` placeholders), ``_forward(params, batch_stats, payload)``
+(``payload`` is the batched wire payload — a pixel array on the default
+rgb wire), ``sampler``, ``class_labels``, ``num_frames``,
+``sampling_method``, ``crop_size``, ``logger``; optionally the ``wire*``
+attributes (see class defaults) to ship clips transform-coded.
 
 Result schema parity: ``vivit_transformer/inference.py:225-248`` (single)
 and ``resnet50-2d-lstm/inference.py:250-351`` (batch skip semantics).
@@ -26,22 +28,79 @@ from ..data.video import decode_frames, get_video_properties
 
 
 class VideoPredictorBase:
+    # Host->device wire format for the clip payload (same transport as the
+    # training feed / bench serving wire — decode fuses into the jitted
+    # forward via preprocess.transforms.decode_wire_batch). Subclasses that
+    # support it (Predictor) override these in __init__; the AOT-artifact
+    # path stays on the rgb wire (the artifact's input signature is baked).
+    wire: str = "rgb"
+    wire_quality: int = 75
+    wire_keep_ac: int = 31
+    wire_pack_from: int = 14
+
     def extract_clip_with_indices(self, video_path):
         total_frames, *_ = get_video_properties(video_path)
         indices = self.sampler(str(video_path), total_frames)
-        clip = decode_frames(video_path, indices,
-                             resize_to=(self.crop_size, self.crop_size))
+        hw = (self.crop_size, self.crop_size)
+        if self.wire != "rgb":
+            # Non-rgb wires ride I420 planes — decode natively as 4:2:0
+            # (the codec's own representation; no RGB roundtrip).
+            from ..data.native import decode_frames_auto
+
+            clip = decode_frames_auto(video_path, indices, resize_to=hw,
+                                      fmt="i420")
+        else:
+            clip = decode_frames(video_path, indices, resize_to=hw)
         return clip, indices, total_frames
 
     def extract_clip(self, video_path) -> np.ndarray:
         return self.extract_clip_with_indices(video_path)[0]
 
+    def _encode_wire(self, i420: np.ndarray):
+        """Single-clip host-side wire encode: I420 (T,H*3/2,W) -> payload."""
+        if self.wire == "i420":
+            return i420
+        if self.wire == "delta":
+            from ..preprocess.transforms import temporal_delta_encode
+
+            return temporal_delta_encode(i420)
+        if self.wire == "dct":
+            from ..preprocess.dct_wire import encode_clip
+
+            return encode_clip(i420, self.wire_quality, self.wire_keep_ac)
+        if self.wire == "dctp":
+            from ..preprocess.dct_wire import encode_clip_packed
+
+            return encode_clip_packed(i420, self.wire_quality,
+                                      self.wire_keep_ac, self.wire_pack_from)
+        raise ValueError(f"unknown wire {self.wire!r}")
+
+    def _stack_payload(self, clips):
+        """List of single clips in the wire's HOST format (rgb: (T,H,W,3)
+        uint8; others: I420 (T,H*3/2,W) uint8) -> batched device payload."""
+        if self.wire == "rgb":
+            return jnp.asarray(np.stack(clips))
+        payloads = [self._encode_wire(c) for c in clips]
+        if isinstance(payloads[0], tuple):  # dct/dctp multi-part payloads
+            return tuple(jnp.asarray(np.stack([p[i] for p in payloads]))
+                         for i in range(len(payloads[0])))
+        return jnp.asarray(np.stack(payloads))
+
     def predict_clip(self, clip_u8: np.ndarray) -> np.ndarray:
-        """(T,H,W,C) or (B,T,H,W,C) uint8 -> (B, num_classes) probabilities."""
-        if clip_u8.ndim == 4:
-            clip_u8 = clip_u8[None]
+        """(T,H,W,3) or (B,T,H,W,3) RGB uint8 -> (B, num_classes)
+        probabilities. On a non-rgb wire, RGB input is converted to I420
+        host-side first (4:2:0 chroma subsampling — the same loss the
+        video source already carries); I420 input (T,H*3/2,W) or
+        (B,T,H*3/2,W) is accepted directly."""
+        rgb_in = clip_u8.shape[-1] == 3 and clip_u8.ndim >= 4
+        batched = clip_u8.ndim == (5 if rgb_in else 4)
+        clips = list(clip_u8) if batched else [clip_u8]
+        if self.wire != "rgb" and rgb_in:
+            from ..data.video import rgb_to_yuv420
+
+            clips = [rgb_to_yuv420(np.ascontiguousarray(c)) for c in clips]
         probs = self._forward(self.state.params, self.state.batch_stats,
-                              jnp.asarray(clip_u8))
+                              self._stack_payload(clips))
         return np.asarray(probs)
 
     def save_sampled_frames(self, log_dir) -> Optional[str]:
@@ -130,10 +189,12 @@ class VideoPredictorBase:
 
         hw = (self.crop_size, self.crop_size)
 
+        fmt = "rgb" if self.wire == "rgb" else "i420"
+
         def decode(plan):
             path, idx, total = plan
             try:
-                return decode_frames_auto(path, idx, resize_to=hw)
+                return decode_frames_auto(path, idx, resize_to=hw, fmt=fmt)
             except Exception as e:
                 self.logger.warning("Decode failed for %s: %s — skipped", path, e)
                 return None
@@ -159,14 +220,14 @@ class VideoPredictorBase:
                             batch_clips.append(clip)
                             if len(batch_clips) == batch_size:
                                 q.put((batch_plans,
-                                       jnp.asarray(np.stack(batch_clips))))
+                                       self._stack_payload(batch_clips)))
                                 batch_plans, batch_clips = [], []
                     if batch_clips:
                         n_real = len(batch_clips)
                         while len(batch_clips) < batch_size:  # keep ONE jit shape
                             batch_clips.append(batch_clips[-1])
                         q.put((batch_plans[:n_real],
-                               jnp.asarray(np.stack(batch_clips))))
+                               self._stack_payload(batch_clips)))
             finally:
                 q.put(sentinel)
 

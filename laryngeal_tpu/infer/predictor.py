@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 from ..data.samplers import FrameSampler
 from ..models.registry import create_model, get_model_spec
-from ..preprocess.transforms import batch_preprocess
+from ..preprocess.transforms import batch_preprocess, decode_wire_batch
 from ..train.losses import probs_fn
 from ..train.state import create_train_state
 from ..train.checkpoint import load_checkpoint
@@ -31,7 +31,9 @@ DEFAULT_CLASSES = ["non_referral", "referral"]
 class Predictor(VideoPredictorBase):
     def __init__(self, model, spec, state, class_labels=None,
                  num_frames: int = 32, sampling_method: str = "uniform",
-                 crop_size: int = 224, logger=None):
+                 crop_size: int = 224, logger=None, wire: str = "rgb",
+                 wire_quality: int = 75, wire_keep_ac: int = 31,
+                 wire_pack_from: int = 14):
         self.model = model
         self.spec = spec
         self.state = state
@@ -40,14 +42,25 @@ class Predictor(VideoPredictorBase):
         self.sampling_method = sampling_method
         self.crop_size = crop_size
         self.logger = logger or logging.getLogger(__name__)
+        # Serving wire (same transport as the training feed / bench): the
+        # clip payload rides as rgb / i420 / delta / dct / dctp and the wire
+        # decode fuses into this jitted forward (decode_wire_batch). dct and
+        # dctp are lossy with drift pinned in BASELINE.md's wire studies.
+        self.wire = wire
+        self.wire_quality = int(wire_quality)
+        self.wire_keep_ac = int(wire_keep_ac)
+        self.wire_pack_from = int(wire_pack_from)
         self.sampler = FrameSampler(
             sampling_method, num_frames, per_video_seed=spec.per_video_seed
         )
         get_probs = probs_fn(spec.loss)
         regime = spec.preprocess_regime
+        wire_hw = (crop_size, crop_size)
 
-        def forward(params, batch_stats, pixel_u8):
-            clips = batch_preprocess(pixel_u8, regime, train=False, crop=crop_size)
+        def forward(params, batch_stats, payload):
+            pixel = decode_wire_batch(payload, wire, wire_hw,
+                                      self.wire_quality, self.wire_keep_ac)
+            clips = batch_preprocess(pixel, regime, train=False, crop=crop_size)
             variables = {"params": params}
             if batch_stats:
                 variables["batch_stats"] = batch_stats
@@ -64,7 +77,10 @@ class Predictor(VideoPredictorBase):
                         image_size: Optional[int] = None,
                         model_size: str = "tiny", hidden_size: int = 256,
                         num_layers: int = 2, logger=None,
-                        model_kwargs: Optional[Dict] = None) -> "Predictor":
+                        model_kwargs: Optional[Dict] = None,
+                        wire: str = "rgb", wire_quality: int = 75,
+                        wire_keep_ac: int = 31,
+                        wire_pack_from: int = 14) -> "Predictor":
         spec = get_model_spec(model_name)
 
         # Checkpoint metadata may pin the exact architecture (written by
@@ -107,4 +123,6 @@ class Predictor(VideoPredictorBase):
         restored = load_checkpoint(checkpoint_path, template)
         class_labels = restored["class_labels"] or DEFAULT_CLASSES
         return cls(model, spec, restored["state"], class_labels,
-                   num_frames, sampling_method, resolution, logger)
+                   num_frames, sampling_method, resolution, logger,
+                   wire=wire, wire_quality=wire_quality,
+                   wire_keep_ac=wire_keep_ac, wire_pack_from=wire_pack_from)

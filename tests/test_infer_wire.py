@@ -1,0 +1,89 @@
+"""Serving wire on the Predictor: clips ride host->device as rgb / i420 /
+delta / dct / dctp and the wire decode fuses into the jitted forward
+(infer/base.py + infer/predictor.py). The result schema (reference parity:
+vivit_transformer/inference.py:225-248) must be wire-invariant; the
+probabilities must match the rgb wire within the wire's pinned loss.
+"""
+import numpy as np
+import pytest
+
+from laryngeal_tpu.data.synthetic import make_synthetic_dataset
+from laryngeal_tpu.infer.predictor import Predictor
+from laryngeal_tpu.models.registry import get_model_spec
+from laryngeal_tpu.models.vivit import VivitConfig, VivitForVideoClassification
+
+
+@pytest.fixture(scope="module")
+def video_path(tmp_path_factory):
+    d = tmp_path_factory.mktemp("infer_wire_synth")
+    make_synthetic_dataset(d, videos_per_class={"referral": 1,
+                                                "non_referral": 1},
+                           num_frames=12, h=64, w=64)
+    return sorted(d.rglob("*.mp4"))[0]
+
+
+def _predictor(wire: str) -> Predictor:
+    import jax
+    import jax.numpy as jnp
+
+    from laryngeal_tpu.train.state import create_train_state
+
+    model = VivitForVideoClassification(VivitConfig(
+        hidden_size=32, num_layers=1, num_heads=2, intermediate_size=64,
+        image_size=64, num_frames=4, num_classes=2, tubelet_size=(2, 16, 16)))
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), jnp.zeros((1, 4, 64, 64, 3)),
+        optimizer="adamw", learning_rate=1e-3, weight_decay=0.01)
+    return Predictor(model, get_model_spec("vivit"), state,
+                     num_frames=4, crop_size=64, wire=wire)
+
+
+# Lossless-vs-source wires must track the rgb path to decode/convert
+# rounding; the transform-coded wires carry their pinned quantization loss.
+TOL = {"i420": 0.02, "delta": 0.02, "dct": 0.06, "dctp": 0.06}
+
+
+@pytest.mark.parametrize("wire", ["i420", "delta", "dct", "dctp"])
+def test_predict_video_matches_rgb_wire(video_path, wire):
+    ref = _predictor("rgb").predict_video(video_path)
+    got = _predictor(wire).predict_video(video_path)
+    assert set(got) == set(ref)  # wire-invariant result schema
+    assert got["frame_indices"] == ref["frame_indices"]
+    p_ref = np.array([ref["probabilities"][c] for c in sorted(ref["probabilities"])])
+    p_got = np.array([got["probabilities"][c] for c in sorted(got["probabilities"])])
+    np.testing.assert_allclose(p_got, p_ref, atol=TOL[wire])
+
+
+def test_predict_clip_accepts_rgb_input_on_dctp_wire():
+    pred = _predictor("dctp")
+    rng = np.random.default_rng(0)
+    clip = rng.integers(0, 256, (4, 64, 64, 3), dtype=np.uint8)
+    probs = pred.predict_clip(clip)
+    assert probs.shape == (1, 2)
+    np.testing.assert_allclose(probs.sum(axis=-1), 1.0, atol=1e-3)
+    # batched RGB input too
+    probs2 = pred.predict_clip(np.stack([clip, clip]))
+    assert probs2.shape == (2, 2)
+    np.testing.assert_allclose(probs2[0], probs2[1], atol=1e-6)
+
+
+def test_predict_clip_accepts_i420_input_on_wire():
+    pred = _predictor("i420")
+    rng = np.random.default_rng(1)
+    i420 = rng.integers(0, 256, (4, 96, 64), dtype=np.uint8)  # (T, H*3/2, W)
+    probs = pred.predict_clip(i420)
+    assert probs.shape == (1, 2)
+    batched = pred.predict_clip(np.stack([i420, i420]))
+    np.testing.assert_allclose(batched[0], batched[1], atol=1e-6)
+
+
+def test_predict_videos_batch_mode_on_dctp_wire(video_path):
+    pred = _predictor("dctp")
+    results = pred.predict_videos([video_path, video_path], batch_size=2)
+    assert len(results) == 2
+    solo = pred.predict_video(video_path)
+    for r in results:
+        np.testing.assert_allclose(
+            [r["probabilities"][c] for c in sorted(r["probabilities"])],
+            [solo["probabilities"][c] for c in sorted(solo["probabilities"])],
+            atol=1e-5)
