@@ -67,3 +67,62 @@ def shard_train_state_fsdp(state, mesh: Mesh, axis: str = DATA_AXIS,
                                                     min_elems))
 
     return jax.tree.map(put, state)
+
+
+def _compose_fsdp_spec(tp_spec: P, shape, n_data: int,
+                       min_elems: int, axis: str = DATA_AXIS) -> P:
+    """Extend a TP PartitionSpec with a 'data' shard on the largest
+    still-free dimension (ZeRO-3 within each model shard). Leaves the spec
+    unchanged when no free dimension divides or the leaf is small."""
+    if n_data <= 1 or int(np.prod(shape or (1,))) < min_elems:
+        return tp_spec
+    spec = list(tp_spec) + [None] * (len(shape) - len(tp_spec))
+    free = [i for i, (d, s) in enumerate(zip(shape, spec))
+            if s is None and d % n_data == 0]
+    if not free:
+        return tp_spec
+    dim = max(free, key=lambda i: shape[i])
+    spec[dim] = axis
+    return P(*spec)
+
+
+def shard_train_state_fsdp_tp(state, mesh: Mesh, axis: str = DATA_AXIS,
+                              min_elems: int = MIN_SHARD_ELEMS):
+    """FSDP x TP composition: every param (and mirrored Adam-moment) leaf
+    carries its Megatron model-axis spec (parallel/tp.py) PLUS a 'data'
+    shard on its largest remaining dimension — the standard large-scale
+    2-D layout (ZeRO-3 within each tensor-parallel group). GSPMD places
+    the all-gathers/reduce-scatters on both axes; the jitted step must be
+    built with ``tp=True`` so the layout propagates instead of being
+    forced back to replicated."""
+    from .tp import param_partition_specs
+
+    n_data = mesh.shape[axis]
+    specs = param_partition_specs(state.params, mesh)
+    rep = NamedSharding(mesh, P())
+
+    def put(tree):
+        return jax.tree.map(
+            lambda v, s: jax.device_put(
+                v, NamedSharding(mesh, _compose_fsdp_spec(
+                    s, getattr(v, "shape", ()), n_data, min_elems, axis))),
+            tree, specs)
+
+    def fix_opt(node):
+        if hasattr(node, "mu") and hasattr(node, "nu"):
+            kw = {"mu": put(node.mu), "nu": put(node.nu)}
+            if hasattr(node, "count"):
+                kw["count"] = jax.device_put(node.count, rep)
+            return node._replace(**kw)
+        return node
+
+    new_opt = jax.tree.map(
+        fix_opt, state.opt_state,
+        is_leaf=lambda n: hasattr(n, "mu") and hasattr(n, "nu"))
+    return state.replace(
+        params=put(state.params),
+        opt_state=new_opt,
+        batch_stats=jax.device_put(state.batch_stats, rep)
+        if state.batch_stats else state.batch_stats,
+        step=jax.device_put(state.step, rep),
+    )

@@ -305,6 +305,35 @@ def shard_pp_state(state, mesh: Mesh):
     return jax.tree_util.tree_map_with_path(put, state)
 
 
+def shard_pp_state_fsdp(state, mesh: Mesh, min_elems: int = None):
+    """PP x FSDP composition: stacked block leaves keep the leading-(L,)
+    'stage' shard AND gain a 'data' shard on their largest remaining
+    dimension (ZeRO-3 within each stage group); non-stacked leaves get the
+    plain FSDP layout over 'data'. Optimizer moments mirror their params
+    by the same purely shape+path-driven rule."""
+    from .fsdp import MIN_SHARD_ELEMS, _compose_fsdp_spec, fsdp_leaf_sharding
+
+    if min_elems is None:
+        min_elems = MIN_SHARD_ELEMS
+    n_data = mesh.shape[DATA_AXIS]
+    rep = NamedSharding(mesh, P())
+
+    def put(path, x):
+        names = {getattr(k, "key", getattr(k, "name", None)) for k in path}
+        shape = getattr(x, "shape", ())
+        if "stacked" in names:
+            # P('stage') on dim 0, then ZeRO-3 'data' on the largest free dim.
+            spec = _compose_fsdp_spec(P(STAGE_AXIS), shape, n_data,
+                                      min_elems, DATA_AXIS)
+            return jax.device_put(x, NamedSharding(mesh, spec))
+        if not shape:
+            return jax.device_put(x, rep)
+        return jax.device_put(
+            x, fsdp_leaf_sharding(mesh, shape, DATA_AXIS, min_elems))
+
+    return jax.tree_util.tree_map_with_path(put, state)
+
+
 def to_sequential_params(pp_params: Dict, num_layers: int) -> Dict:
     """{"stacked","rest"} pipeline layout -> the sequential model's params."""
     out = dict(pp_params["rest"])
