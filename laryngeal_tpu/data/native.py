@@ -122,6 +122,7 @@ def decode_frames(
     resize_to: Optional[Tuple[int, int]] = None,
     fmt: str = "rgb",
     fast: bool = False,
+    lowres: int = 0,
 ) -> np.ndarray:
     """Decode `indices` natively. fmt 'rgb' -> (N,H,W,3); 'i420' ->
     (N, H*3/2, W) packed planes (cv2-I420 layout, even H/W required).
@@ -130,10 +131,23 @@ def decode_frames(
     ``-skip_loop_filter all``): every frame is still decoded, but pixels
     drift slightly from the spec decode. Only meant for lossy transports
     (the DCT wire) whose quantization dominates this error; falls back to
-    the exact path when the loaded .so predates ``clip_decode_ex``."""
+    the exact path when the loaded .so predates ``clip_decode_ex``.
+
+    ``lowres=n`` (mpegvideo-family codecs only: mpeg4/mjpeg, NOT h264)
+    decodes at 1/2**n resolution — the decoder's iDCT/motion-comp run at
+    reduced scale, so this cuts decode CPU rather than just output size.
+    Lossy: a partial iDCT is not a downscaled exact decode (drift pinned in
+    BASELINE.md). When ``resize_to`` is omitted, the output geometry is the
+    source's divided by 2**n; an explicit ``resize_to`` is interpreted in
+    OUTPUT (reduced) coordinates. Raises on codecs without lowres support."""
     lib = _load()
     if lib is None:
         raise RuntimeError("native cliploader unavailable")
+    lowres = int(lowres)
+    if not 0 <= lowres <= 3:
+        raise ValueError(f"lowres must be in [0,3], got {lowres}")
+    if lowres and not hasattr(lib, "clip_decode_ex"):
+        raise RuntimeError("loaded .so predates lowres support")
     idx = sorted(int(i) for i in indices)
     if not idx:
         raise ValueError("decode_frames requires at least one index")
@@ -141,6 +155,8 @@ def decode_frames(
         out_w, out_h = resize_to
     else:
         _, _, _, out_w, out_h = get_video_properties(path)
+        out_w >>= lowres
+        out_h >>= lowres
     if fmt == "i420" and (out_w % 2 or out_h % 2):
         raise ValueError("i420 output needs even dimensions")
 
@@ -153,9 +169,10 @@ def decode_frames(
         code = 0
     c_idx = (ctypes.c_int * n)(*idx)
     decoded = ctypes.c_int()
-    if fast and hasattr(lib, "clip_decode_ex"):
+    if (fast or lowres) and hasattr(lib, "clip_decode_ex"):
+        flags = (1 if fast else 0) | (lowres << 1)
         rc = lib.clip_decode_ex(
-            str(path).encode(), c_idx, n, out_w, out_h, code, 1,
+            str(path).encode(), c_idx, n, out_w, out_h, code, flags,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             ctypes.byref(decoded))
     else:
@@ -273,18 +290,35 @@ def encode_h264(path, frames_rgb: np.ndarray, fps: float = 30.0,
 
 
 def decode_frames_auto(path, indices, resize_to=None, fmt: str = "rgb",
-                       fast: bool = False) -> np.ndarray:
+                       fast: bool = False, lowres: int = 0) -> np.ndarray:
     """Native decode when available, cv2 fallback otherwise (rgb only).
-    ``fast`` is native-only (see :func:`decode_frames`); the cv2 fallback
-    always decodes exactly."""
+    ``fast``/``lowres`` are native-only (see :func:`decode_frames`); the
+    cv2 fallback decodes exactly at full resolution, then downscales to the
+    requested geometry when ``lowres`` asked for a reduced output."""
     if available():
         try:
-            return decode_frames(path, indices, resize_to, fmt, fast=fast)
+            return decode_frames(path, indices, resize_to, fmt, fast=fast,
+                                 lowres=lowres)
         except Exception as e:
             logger.warning("native decode failed (%s); falling back to cv2", e)
     from . import video as _video
 
+    if lowres and resize_to is None:
+        _, _, _, w, h = (get_video_properties(path) if available()
+                         else (None, None, None) + _cv2_dims(path))
+        resize_to = (w >> lowres, h >> lowres)
     rgb = _video.decode_frames(path, indices, resize_to=resize_to)
     if fmt == "i420":
         return _video.rgb_to_yuv420(rgb)
     return rgb
+
+
+def _cv2_dims(path):
+    import cv2
+
+    cap = cv2.VideoCapture(str(path))
+    try:
+        return (int(cap.get(cv2.CAP_PROP_FRAME_WIDTH)),
+                int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT)))
+    finally:
+        cap.release()

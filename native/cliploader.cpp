@@ -71,7 +71,22 @@ struct Reader {
       // measured drift/speed tradeoff lives in BASELINE.md.
       dec->skip_loop_filter = AVDISCARD_ALL;
     }
+    int lowres = (fast >> 1) & 3;
+    if (lowres > 0) {
+      // Reduced-resolution decode (ffmpeg's `-lowres` knob): mpegvideo-
+      // family decoders (mpeg4 max_lowres=3 in this libavcodec) run their
+      // iDCT and motion compensation at 1/2^lowres scale, emitting
+      // (w>>lowres, h>>lowres) frames for a fraction of the decode CPU.
+      // Lossy by construction (a 4x4 partial iDCT is not a downscaled 8x8
+      // decode) — same accounting regime as the lossy DCT wire; drift
+      // pinned in BASELINE.md. avcodec_open2 clamps unsupported levels to
+      // the codec's max_lowres (h264: 0) with a warning, so callers must
+      // size out_w/out_h from the POST-open dec->lowres, which
+      // clip_decode_ex re-checks.
+      dec->lowres = lowres;
+    }
     if (avcodec_open2(dec, codec, nullptr) < 0) return -6;
+    if (lowres > 0 && dec->lowres != lowres) return -7;  // codec can't
     return 0;
   }
 

@@ -9,8 +9,13 @@ BASELINE.md records both.
 
 Usage:
     python scripts/probe_wire_drift.py [--clips 8] \
-        [--arms "75,31,14;75,23,8;..."]  # quality,keep_ac,pack_from
+        [--arms "75,31,14;75,23,8;..."]  # quality,keep_ac,pack_from[,lowres]
         # pack_from >= keep_ac means the unpacked dct wire
+        # a 4th field (lowres level) decodes the source at 1/2**l geometry
+        # (native mpeg4 lowres decode) and carries the reduced size through
+        # the wire; the device preprocess resizes back to the model input,
+        # so the reported drift includes BOTH the dct quantization and the
+        # resolution loss of that arm.
 """
 import argparse
 import sys
@@ -67,31 +72,49 @@ def main():
     print(f"lossless reference: {len(paths)} clips, {nf}f {crop}x{crop}",
           flush=True)
 
+    lowres_clips = {}  # level -> (B,T,hw*3/2,hw) reduced-geometry decodes
+
+    def clips_at(level):
+        if level == 0:
+            return clips, crop
+        if level not in lowres_clips:
+            hw = crop >> level
+            lowres_clips[level] = np.stack([
+                decode_frames_auto(p, sampler(str(p), 96),
+                                   resize_to=(hw, hw), fmt="i420",
+                                   lowres=level)
+                for p in paths])
+        return lowres_clips[level], crop >> level
+
     for arm in args.arms.split(";"):
-        q, k, pf = (int(v) for v in arm.strip().split(","))
+        fields = [int(v) for v in arm.strip().split(",")]
+        q, k, pf = fields[:3]
+        lvl = fields[3] if len(fields) > 3 else 0
+        src, hw = clips_at(lvl)
+        lvl_txt = f" lowres{lvl}({hw}px)" if lvl else ""
         if pf >= k:  # unpacked dct wire
-            enc = [dw.encode_clip(c, q, k) for c in clips]
+            enc = [dw.encode_clip(c, q, k) for c in src]
             dc = np.stack([e[0] for e in enc])
             ac = np.stack([e[1] for e in enc])
             nbytes = dc[0].nbytes + ac[0].nbytes
             dec = jax.jit(jax.vmap(
-                lambda d, a: dw.decode_to_rgb(d, a, crop, crop, q)))
+                lambda d, a: dw.decode_to_rgb(d, a, hw, hw, q)))
             rgb = dec(jnp.asarray(dc), jnp.asarray(ac))
             planes = 2 + k
         else:
-            enc = [dw.encode_clip_packed(c, q, k, pf) for c in clips]
+            enc = [dw.encode_clip_packed(c, q, k, pf) for c in src]
             dc = np.stack([e[0] for e in enc])
             hi = np.stack([e[1] for e in enc])
             pk = np.stack([e[2] for e in enc])
             nbytes = dc[0].nbytes + hi[0].nbytes + pk[0].nbytes
             dec = jax.jit(jax.vmap(
                 lambda d, h, p: dw.decode_to_rgb_packed(
-                    d, h, p, crop, crop, q, k)))
+                    d, h, p, hw, hw, q, k)))
             rgb = dec(jnp.asarray(dc), jnp.asarray(hi), jnp.asarray(pk))
             planes = 2 + pf + (k - pf + 1) // 2
         p = np.asarray(probs_from_rgb(params, rgb))
         d = np.abs(p - p_ref)
-        print(f"q{q:3d} keep{k:2d} pack{pf:2d}: "
+        print(f"q{q:3d} keep{k:2d} pack{pf:2d}{lvl_txt}: "
               f"max drift {d.max():.4f}  mean {d.mean():.5f}  "
               f"{nbytes / 1e6:.3f} MB/clip  {planes} byte-planes/block",
               flush=True)
