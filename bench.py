@@ -99,18 +99,50 @@ def wire_params(wire: str):
     """Parse a wire spec into ``(kind, quality, keep_ac, pack_from)``.
 
     Plain names ("raw", "delta", "dct", "dctp") use the BENCH_DCT_* env
-    defaults; a parameterized spec like ``dctp@q75k23p8`` (or ``dct@q60k31``)
-    overrides them per arm — this is what lets BENCH_WIRE_AB_ARMS compare
-    wire PARAMETERS inside one relay session, so session weather hits all
-    arms equally."""
+    defaults; a parameterized spec like ``dctp@q75k23p8`` (or ``dct@q60k31``,
+    optionally with an ``l<n>`` lowres-decode suffix — see
+    :func:`wire_lowres`) overrides them per arm — this is what lets
+    BENCH_WIRE_AB_ARMS compare wire PARAMETERS inside one relay session, so
+    session weather hits all arms equally."""
     if "@" not in wire:
         return wire, DCT_QUALITY, DCT_KEEP, DCT_PACK_FROM
     kind, spec = wire.split("@", 1)
-    m = re.fullmatch(r"q(\d+)k(\d+)(?:p(\d+))?", spec)
+    m = re.fullmatch(r"q(\d+)k(\d+)(?:p(\d+))?(?:l(\d))?", spec)
     if kind not in ("dct", "dctp") or m is None:
         raise ValueError(f"bad wire spec {wire!r} (want e.g. dctp@q75k23p8)")
     return (kind, int(m.group(1)), int(m.group(2)),
             int(m.group(3)) if m.group(3) else DCT_PACK_FROM)
+
+
+def wire_lowres(wire: str) -> int:
+    """Lowres decode level for a wire arm: the ``l<n>`` spec suffix
+    (``dctp@q75k15p8l1``), else the BENCH_LOWRES env default. Level n means
+    the mpeg4 decoder runs its iDCT/motion-comp at 1/2**n scale and every
+    wire stage (fDCT, payload, device decode) operates on the reduced
+    geometry; the jitted preprocess resizes back to the model's 224 input
+    (vivit HF semantics resize from any source size). Lossy — drift
+    accounted in BASELINE.md alongside the DCT-wire loss."""
+    if "@" in wire:
+        m = re.fullmatch(r"q\d+k\d+(?:p\d+)?(?:l(\d))?", wire.split("@", 1)[1])
+        if m and m.group(1):
+            return int(m.group(1))
+    return LOWRES
+
+
+LOWRES = int(os.environ.get("BENCH_LOWRES", "0"))
+
+
+def _wire_hw(wire: str = None) -> int:
+    """Host-decode / wire geometry (square) for an arm: CROP >> lowres."""
+    return CROP >> wire_lowres(wire or WIRE)
+
+
+def _dct_geometry(wire: str = None) -> int:
+    """8x8-block count per frame at the arm's wire geometry."""
+    from laryngeal_tpu.preprocess.dct_wire import block_geometry
+
+    hw = _wire_hw(wire)
+    return block_geometry(hw, hw)[2]
 
 
 def _dct_planes_per_block(wire: str) -> float:
@@ -177,6 +209,7 @@ def make_forward(model, wire: str = None):
 
     wire = wire or WIRE
     kind, quality, keep, _ = wire_params(wire)
+    hw = _wire_hw(wire)  # lowres arms decode the wire at reduced geometry
 
     @jax.jit
     def forward(params, payload):
@@ -186,33 +219,30 @@ def make_forward(model, wire: str = None):
         # coefficient planes when wire=dct (mostly zero runs — the relay's
         # content compression moves those ~4x faster; bounded loss). dctp
         # additionally nibble-packs the high-frequency planes (fewer raw
-        # bytes for the relay to hash/compress on the 1-core host).
+        # bytes for the relay to hash/compress on the 1-core host). A
+        # lowres arm (wire_lowres > 0) carries hw = CROP >> l geometry end
+        # to end on the host; batch_preprocess's vivit regime resizes the
+        # decoded RGB back up to the model's 224 input on device.
         if kind == "dctp":
             dc, ac_hi, ac_pk = payload
             rgb = jax.vmap(
                 lambda d, h_, p_: decode_to_rgb_packed(
-                    d, h_, p_, CROP, CROP, quality, keep)
+                    d, h_, p_, hw, hw, quality, keep)
             )(dc, ac_hi, ac_pk)
         elif kind == "dct":
             dc, ac = payload
             rgb = jax.vmap(
-                lambda d, a: decode_to_rgb(d, a, CROP, CROP, quality)
+                lambda d, a: decode_to_rgb(d, a, hw, hw, quality)
             )(dc, ac)
         else:
             clips_yuv = payload
             if wire == "delta":
                 clips_yuv = temporal_delta_decode(clips_yuv, axis=1)
-            rgb = jax.vmap(lambda c: yuv420_to_rgb(c, CROP, CROP))(clips_yuv)
+            rgb = jax.vmap(lambda c: yuv420_to_rgb(c, hw, hw))(clips_yuv)
         clips = batch_preprocess(rgb, "vivit", train=False, crop=CROP)
         return jax.nn.softmax(model.apply({"params": params}, clips), axis=-1)
 
     return forward
-
-
-def _dct_geometry():
-    from laryngeal_tpu.preprocess.dct_wire import block_geometry
-
-    return block_geometry(CROP, CROP)[2]
 
 
 def warmup_relay(forward, params, wire: str = None):
@@ -224,8 +254,9 @@ def warmup_relay(forward, params, wire: str = None):
     rng0 = np.random.default_rng(123)
     wire = wire or WIRE
     kind, _, keep, pack = wire_params(wire)
+    hw = _wire_hw(wire)
     if kind == "dctp":
-        nb = _dct_geometry()
+        nb = _dct_geometry(wire)
         p = min(pack, keep)
         q = (keep - p + 1) // 2
         dummy = (
@@ -237,7 +268,7 @@ def warmup_relay(forward, params, wire: str = None):
                                       ).astype(np.uint8)),
         )
     elif kind == "dct":
-        nb = _dct_geometry()
+        nb = _dct_geometry(wire)
         dummy = (
             jnp.asarray(rng0.integers(-300, 300, (BATCH, NUM_FRAMES, nb),
                                       dtype=np.int16)),
@@ -247,7 +278,7 @@ def warmup_relay(forward, params, wire: str = None):
         )
     else:
         dummy = jnp.asarray(rng0.integers(
-            0, 255, (BATCH, NUM_FRAMES, CROP * 3 // 2, CROP), dtype=np.uint8))
+            0, 255, (BATCH, NUM_FRAMES, hw * 3 // 2, hw), dtype=np.uint8))
     np.asarray(forward(params, dummy))
 
 
@@ -259,11 +290,12 @@ def bench_decode_only(paths, sampler_seed=0, wire: str = None) -> float:
 
     wire = wire or WIRE
     kind, quality, keep, pack = wire_params(wire)
+    hw, lr = _wire_hw(wire), wire_lowres(wire)
     sampler = FrameSampler("random", NUM_FRAMES, seed=sampler_seed + 7)
     t0 = time.perf_counter()
     for p in paths:
         clip = decode_frames_auto(p, sampler(str(p), 96),
-                                  resize_to=(CROP, CROP), fmt="i420")
+                                  resize_to=(hw, hw), fmt="i420", lowres=lr)
         if kind == "dctp":  # dct arms pay their host-side fDCT (+pack) here
             encode_clip_packed(clip, quality, keep, pack)
         elif kind == "dct":
@@ -321,10 +353,12 @@ def bench_transfer(paths=None, wire: str = None) -> dict:
             encode_clip, encode_clip_packed)
 
         sampler = FrameSampler("uniform", NUM_FRAMES, seed=42)
+        hw, lr = _wire_hw(wire), wire_lowres(wire)
 
         def enc1(p):
             clip = decode_frames_auto(p, sampler(str(p), 96),
-                                      resize_to=(CROP, CROP), fmt="i420")
+                                      resize_to=(hw, hw), fmt="i420",
+                                      lowres=lr)
             if w_kind == "dctp":
                 return encode_clip_packed(clip, w_q, w_k, w_p)
             return encode_clip(clip, w_q, w_k)
@@ -361,8 +395,9 @@ def bench_compute_only(forward, params) -> float:
     K, ITERS = 4, 12
     rng = np.random.default_rng(7)
     w_kind, _, w_keep, w_pack = wire_params(WIRE)
+    hw = _wire_hw()
     if w_kind == "dctp":
-        nb = _dct_geometry()
+        nb = _dct_geometry(WIRE)
         p = min(w_pack, w_keep)
         q = (w_keep - p + 1) // 2
         batches = (
@@ -376,7 +411,7 @@ def bench_compute_only(forward, params) -> float:
     elif w_kind == "dct":
         # Stage wire-format payloads so compute-only includes the on-device
         # dequant+IDCT (it is part of the real decode->logits graph).
-        nb = _dct_geometry()
+        nb = _dct_geometry(WIRE)
         batches = (
             jnp.asarray(rng.integers(-300, 300, (K, BATCH, NUM_FRAMES, nb),
                                      dtype=np.int16)),
@@ -386,7 +421,7 @@ def bench_compute_only(forward, params) -> float:
         )
     else:
         batches = jnp.asarray(rng.integers(
-            0, 255, (K, BATCH, NUM_FRAMES, CROP * 3 // 2, CROP),
+            0, 255, (K, BATCH, NUM_FRAMES, hw * 3 // 2, hw),
             dtype=np.uint8))
 
     # Re-use the already-compiled `forward` inside the chain so only the
@@ -490,6 +525,7 @@ def bench_tpu(paths, forward, params, pass_seed: int = 0,
 
     wire = wire or WIRE
     kind, quality, keep, pack = wire_params(wire)
+    hw, lr = _wire_hw(wire), wire_lowres(wire)
 
     # pass_seed 0 = the nominal uniform-sampling pass; later passes draw
     # seeded random indices so their transfer payloads are NOT byte-identical
@@ -535,7 +571,8 @@ def bench_tpu(paths, forward, params, pass_seed: int = 0,
         try:
             for p in paths:
                 clip = decode_frames_auto(p, sampler(str(p), 96),
-                                          resize_to=(CROP, CROP), fmt="i420")
+                                          resize_to=(hw, hw), fmt="i420",
+                                          lowres=lr)
                 if kind == "delta":
                     clip = temporal_delta_encode(clip)
                 elif kind == "dctp":
@@ -676,8 +713,10 @@ def main():
                                     stats=st))
         pass_stats.append(st)
     best_i = max(range(n_passes), key=lambda i: e2e_passes[i])
-    value = e2e_passes[best_i]
     e2e_median = sorted(e2e_passes)[len(e2e_passes) // 2]
+    # Headline = MEDIAN of the fresh-payload passes (round-3 VERDICT weak
+    # #1): the reproducible statistic. Best-of-n stays in the breakdown.
+    value = e2e_median
 
     # Stage-share attribution at the e2e operating point: per-clip seconds
     # spent in each (overlapped) stage vs the serial bottleneck. Payload
@@ -685,12 +724,13 @@ def main():
     # ships ~half the bytes (DC int16 + DCT_KEEP int8 AC planes) and moves
     # at the measured effective (content-compressed) rate.
     wire_kind, wire_q, wire_k, wire_p = wire_params(WIRE)
+    wire_hw = _wire_hw()
     if wire_kind in ("dct", "dctp"):
-        nb = _dct_geometry()
+        nb = _dct_geometry(WIRE)
         clip_mb = NUM_FRAMES * nb * _dct_planes_per_block(WIRE) / 1e6
         xfer_rate = xfer.get("h2d_mbps_payload", xfer["h2d_mbps"])
     else:
-        clip_mb = (NUM_FRAMES * CROP * CROP * 3 / 2) / 1e6  # I420 wire bytes
+        clip_mb = (NUM_FRAMES * wire_hw * wire_hw * 3 / 2) / 1e6  # I420 bytes
         xfer_rate = xfer["h2d_mbps"]
     t_decode = 1.0 / max(decode_rate, 1e-9)
     t_xfer = clip_mb / max(xfer_rate, 1e-9)
@@ -700,6 +740,7 @@ def main():
     breakdown = {
         "e2e_passes": [round(v, 2) for v in e2e_passes],
         "e2e_median": round(e2e_median, 2),
+        "e2e_best": round(e2e_passes[best_i], 2),
         "decode_clips_per_sec": round(decode_rate, 2),
         **xfer,
         "compute_only_clips_per_sec": round(compute_rate, 2),
@@ -730,7 +771,7 @@ def main():
     speedup = max(xfer.get("h2d_mbps_payload", xfer["h2d_mbps"])
                   / xfer["h2d_mbps"], 1.0)
     t_norm = max(t_decode, mb_clip / (nominal_mbps * speedup), t_compute)
-    breakdown["e2e_implied_mbps"] = round(value * mb_clip, 1)
+    breakdown["e2e_implied_mbps"] = round(e2e_passes[best_i] * mb_clip, 1)
     breakdown["e2e_at_nominal_35mbps"] = round(1.0 / t_norm, 2)
     # Host-CPU attribution of the best pass (1-core host: the stage CPU sums
     # bound the pass; wall minus total CPU is genuine stall/fill/drain).
@@ -739,16 +780,29 @@ def main():
         breakdown["host_cpu_s_best_pass"] = {
             **c, "wall_s": round(bstat["wall_s"], 2),
             "stall_s": round(bstat["wall_s"] - sum(c.values()), 2)}
-    if wire_kind == "dct":
+    if wire_kind in ("dct", "dctp"):
+        # Only quote a pinned drift figure for operating points that were
+        # actually measured (scripts/probe_wire_drift.py, BASELINE.md
+        # wire-parameter sweep); any other (q, keep, pack) gets a pointer,
+        # not a number that was never measured for it (round-3 ADVICE).
+        measured_drift = {
+            ("dct", 75, 31, None): "0.0038",
+            ("dctp", 75, 31, 14): "0.0038",
+            ("dctp", 75, 31, 8): "0.0038",
+            ("dctp", 75, 23, 8): "0.0048",
+            ("dctp", 75, 15, 8): "0.0059",
+        }
+        key = (wire_kind, wire_q, wire_k,
+               wire_p if wire_kind == "dctp" else None)
+        pack_txt = f" pack{wire_p}" if wire_kind == "dctp" else ""
+        drift = measured_drift.get(key)
+        drift_txt = (f"max softmax drift vs lossless {drift} (pinned)"
+                     if drift else
+                     "drift unmeasured at this operating point — run "
+                     "scripts/probe_wire_drift.py")
         breakdown["wire"] = (
-            f"dct q{wire_q} keep{wire_k} (lossy: max softmax drift "
-            f"0.004 measured vs lossless; BENCH_WIRE=delta for bit-exact)")
-    elif wire_kind == "dctp":
-        breakdown["wire"] = (
-            f"dctp q{wire_q} keep{wire_k} pack{wire_p} "
-            f"(dct + nibble-packed AC planes; max softmax drift vs "
-            f"lossless 0.006 at k15p8 / 0.004 at k31p14 — "
-            f"scripts/probe_wire_drift.py; BENCH_WIRE=delta for bit-exact)")
+            f"{wire_kind} q{wire_q} keep{wire_k}{pack_txt} (lossy: "
+            f"{drift_txt}; BENCH_WIRE=delta for bit-exact)")
     else:
         breakdown["wire"] = WIRE
 
