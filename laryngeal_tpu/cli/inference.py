@@ -128,7 +128,20 @@ def main(argv=None, model_default=None):
             try:
                 from ..utils.visualization import TrainingVisualizer
 
-                clip = predictor.extract_clip(args.video_path)
+                # Frame grids need RGB regardless of the wire format: a
+                # non-rgb wire's extract_clip returns I420 planes
+                # (T, H*3/2, W), which imshow would render as a corrupt
+                # colormapped grid (cli/main.py handles training viz the
+                # same way).
+                if predictor.wire == "rgb":
+                    clip = predictor.extract_clip(args.video_path)
+                else:
+                    from ..data.video import decode_frames
+
+                    hw = (predictor.crop_size, predictor.crop_size)
+                    clip = decode_frames(
+                        args.video_path, result["frame_indices"],
+                        resize_to=hw)
                 viz = TrainingVisualizer(results_dir)
                 path = viz.visualize_sampling(
                     args.video_path, result["frame_indices"],

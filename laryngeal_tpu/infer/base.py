@@ -92,8 +92,37 @@ class VideoPredictorBase:
         host-side first (4:2:0 chroma subsampling — the same loss the
         video source already carries); I420 input (T,H*3/2,W) or
         (B,T,H*3/2,W) is accepted directly."""
-        rgb_in = clip_u8.shape[-1] == 3 and clip_u8.ndim >= 4
-        batched = clip_u8.ndim == (5 if rgb_in else 4)
+        # Shape dispatch (round-3 ADVICE): on the rgb wire the rule is
+        # ndim-only — any 4D clip is (T,H,W,C) unbatched, 5D batched — so
+        # a (T,H,W,1) grayscale input is never mis-read as batched I420.
+        # On non-rgb wires, last-dim==3 marks RGB; a trailing dim that
+        # looks channel-like but isn't 3 is ambiguous and raises.
+        if self.wire == "rgb":
+            if clip_u8.ndim not in (4, 5):
+                raise ValueError(
+                    f"rgb wire expects (T,H,W,C) or (B,T,H,W,C); got "
+                    f"shape {clip_u8.shape}")
+            rgb_in, batched = True, clip_u8.ndim == 5
+        elif clip_u8.ndim == 3:
+            rgb_in, batched = False, False  # I420 (T, H*3/2, W)
+        elif clip_u8.ndim == 5:
+            if clip_u8.shape[-1] != 3:
+                raise ValueError(
+                    f"5D input must be (B,T,H,W,3) RGB; got "
+                    f"shape {clip_u8.shape}")
+            rgb_in, batched = True, True
+        elif clip_u8.ndim == 4:
+            if clip_u8.shape[-1] == 3:
+                rgb_in, batched = True, False
+            elif clip_u8.shape[-1] <= 4:
+                raise ValueError(
+                    f"4D input with trailing dim {clip_u8.shape[-1]} is "
+                    f"neither RGB (C=3) nor batched I420 (B,T,H*3/2,W); "
+                    f"got shape {clip_u8.shape}")
+            else:
+                rgb_in, batched = False, True  # batched I420
+        else:
+            raise ValueError(f"unsupported input shape {clip_u8.shape}")
         clips = list(clip_u8) if batched else [clip_u8]
         if self.wire != "rgb" and rgb_in:
             from ..data.video import rgb_to_yuv420
