@@ -121,15 +121,30 @@ def wire_lowres(wire: str) -> int:
     wire stage (fDCT, payload, device decode) operates on the reduced
     geometry; the jitted preprocess resizes back to the model's 224 input
     (vivit HF semantics resize from any source size). Lossy — drift
-    accounted in BASELINE.md alongside the DCT-wire loss."""
+    accounted in BASELINE.md alongside the DCT-wire loss.
+
+    The BENCH_LOWRES default applies to the transform-coded (dct/dctp)
+    wires only: raw/delta/i420 are the exact-transport arms and stay
+    full-resolution unless BENCH_LOWRES is set explicitly."""
+    wire = wire or WIRE
     if "@" in wire:
         m = re.fullmatch(r"q\d+k\d+(?:p\d+)?(?:l(\d))?", wire.split("@", 1)[1])
         if m and m.group(1):
             return int(m.group(1))
+    kind = wire.split("@", 1)[0]
+    if kind not in ("dct", "dctp") and "BENCH_LOWRES" not in os.environ:
+        return 0
     return LOWRES
 
 
-LOWRES = int(os.environ.get("BENCH_LOWRES", "0"))
+# Round-4 lowres study (BASELINE.md): decoding the mpeg4 source at 1/2
+# resolution (the decoder's own partial-iDCT `lowres` path) and carrying
+# 112^2 geometry through fDCT -> wire -> device decode -> resize-to-224
+# beat full-res k15p8 in every matched same-session pair (interleaved A/B:
+# median 29.22 vs 25.35 clips/s, +15.3%) — 4x fewer wire bytes AND ~2x
+# less host decode+fDCT CPU. Max softmax drift vs lossless: 0.0109
+# (probe_wire_drift.py, lowres arms). BENCH_LOWRES=0 restores full-res.
+LOWRES = int(os.environ.get("BENCH_LOWRES", "1"))
 
 
 def _wire_hw(wire: str = None) -> int:
@@ -785,24 +800,30 @@ def main():
         # actually measured (scripts/probe_wire_drift.py, BASELINE.md
         # wire-parameter sweep); any other (q, keep, pack) gets a pointer,
         # not a number that was never measured for it (round-3 ADVICE).
+        wire_l = wire_lowres(WIRE)
         measured_drift = {
-            ("dct", 75, 31, None): "0.0038",
-            ("dctp", 75, 31, 14): "0.0038",
-            ("dctp", 75, 31, 8): "0.0038",
-            ("dctp", 75, 23, 8): "0.0048",
-            ("dctp", 75, 15, 8): "0.0059",
+            ("dct", 75, 31, None, 0): "0.0038",
+            ("dctp", 75, 31, 14, 0): "0.0038",
+            ("dctp", 75, 31, 8, 0): "0.0038",
+            ("dctp", 75, 23, 8, 0): "0.0048",
+            ("dctp", 75, 15, 8, 0): "0.0059",
+            ("dctp", 75, 31, 14, 1): "0.0117",
+            ("dctp", 75, 23, 8, 1): "0.0114",
+            ("dctp", 75, 15, 8, 1): "0.0109",
         }
         key = (wire_kind, wire_q, wire_k,
-               wire_p if wire_kind == "dctp" else None)
+               wire_p if wire_kind == "dctp" else None, wire_l)
         pack_txt = f" pack{wire_p}" if wire_kind == "dctp" else ""
+        lowres_txt = (f" lowres{wire_l}({_wire_hw(WIRE)}px decode)"
+                      if wire_l else "")
         drift = measured_drift.get(key)
         drift_txt = (f"max softmax drift vs lossless {drift} (pinned)"
                      if drift else
                      "drift unmeasured at this operating point — run "
                      "scripts/probe_wire_drift.py")
         breakdown["wire"] = (
-            f"{wire_kind} q{wire_q} keep{wire_k}{pack_txt} (lossy: "
-            f"{drift_txt}; BENCH_WIRE=delta for bit-exact)")
+            f"{wire_kind} q{wire_q} keep{wire_k}{pack_txt}{lowres_txt} "
+            f"(lossy: {drift_txt}; BENCH_WIRE=delta for bit-exact)")
     else:
         breakdown["wire"] = WIRE
 

@@ -35,6 +35,17 @@ def test_bad_specs_raise(bad):
         bench.wire_params(bad)
 
 
+def test_lowres_suffix_parses():
+    # l<n> rides after the dct params and does not disturb them.
+    assert bench.wire_params("dctp@q75k15p8l1") == ("dctp", 75, 15, 8)
+    assert bench.wire_lowres("dctp@q75k15p8l1") == 1
+    assert bench.wire_lowres("dctp@q75k15p8") == bench.LOWRES
+    # Regression: None must fall back to the session default WIRE, not
+    # crash ("@" in None) — bench_transfer calls wire_lowres(None).
+    assert bench.wire_lowres(None) == bench.wire_lowres(bench.WIRE)
+    assert bench._wire_hw("dctp@q75k15p8l1") == bench.CROP >> 1
+
+
 def test_planes_per_block_tracks_spec():
     # dct: DC int16 (2 byte-planes) + keep AC byte-planes
     assert bench._dct_planes_per_block("dct@q75k31") == 33
