@@ -52,6 +52,17 @@ class TimesformerConfig:
     layer_norm_eps: float = 1e-6
     dtype: jnp.dtype = jnp.float32
     remat: bool = False  # jax.checkpoint per layer (memory <-> FLOPs)
+    # "flat": HF-parity layout — the (B, 1+n*t, D) token sequence is carried
+    # through every layer and the spatial block materializes two
+    # (B,N,T,D)<->(B,T,N,D) transposes + a cls concat per layer.
+    # "nt": transpose-free probe layout — (cls (B,1,D), patches (B,N,T,D))
+    # carried as a pair; the temporal split is a free reshape and the
+    # spatial block runs batched einsum attention with the cls row fused as
+    # an extra score column, so NO transpose is ever materialized.
+    # Identical parameter tree (checkpoints interchange); numerics pinned
+    # vs "flat" in tests/test_models.py. Single-chip/dp only — sp's token
+    # constraints assume the flat sequence.
+    layout: str = "flat"
 
     @property
     def num_spatial_patches(self) -> int:
@@ -133,6 +144,112 @@ class TimesformerLayer(nn.Module):
         return x + h
 
 
+class DividedSpatialAttention(nn.Module):
+    """Per-frame spatial attention in the transpose-free "nt" layout.
+
+    Parameter-compatible with ``FusedQKVAttention`` (same "qkv"/"out"
+    Dense submodules) but operates directly on the n-major 4-D patches
+    (B, N, T, D) plus the shared cls vector (B, 1, D): the cls token rides
+    as one extra score column/row per frame (einsum-fused), so the layer
+    never materializes the (B,N,T,D)->(B*T,1+N,D) transpose+concat the flat
+    layout pays twice per layer (round-3 VERDICT #7 probe — the flat
+    spatial block measured 106.7 ms of which only ~4.5 ms/layer was the
+    attention core)."""
+
+    hidden_size: int
+    num_heads: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, cls: jax.Array, patches: jax.Array):
+        b, n, t, d = patches.shape
+        h = self.num_heads
+        hd = d // h
+        qkv = nn.Dense(3 * self.hidden_size, dtype=self.dtype, name="qkv")
+        out = nn.Dense(self.hidden_size, dtype=self.dtype, name="out")
+
+        qkv_p = qkv(patches).reshape(b, n, t, 3, h, hd)
+        q_p, k_p, v_p = (qkv_p[:, :, :, 0], qkv_p[:, :, :, 1],
+                         qkv_p[:, :, :, 2])  # (B,N,T,H,hd)
+        qkv_c = qkv(cls).reshape(b, 3, h, hd)
+        q_c, k_c, v_c = qkv_c[:, 0], qkv_c[:, 1], qkv_c[:, 2]  # (B,H,hd)
+        scale = jnp.asarray(hd ** -0.5, patches.dtype)
+
+        # Patch queries: per-frame scores over [cls | same-frame patches].
+        s_pp = jnp.einsum("bnthd,bmthd->bthnm", q_p, k_p) * scale
+        s_pc = jnp.einsum("bnthd,bhd->bthn", q_p, k_c) * scale
+        w = jax.nn.softmax(
+            jnp.concatenate([s_pc[..., None], s_pp], axis=-1), axis=-1)
+        ctx_p = (jnp.einsum("bthn,bhd->bnthd", w[..., 0], v_c)
+                 + jnp.einsum("bthnm,bmthd->bnthd", w[..., 1:], v_p))
+
+        # cls queries (identical per frame pre-softmax; frame-dependent via
+        # the per-frame key set).
+        s_cc = jnp.einsum("bhd,bhd->bh", q_c, k_c) * scale
+        s_cp = jnp.einsum("bhd,bnthd->bthn", q_c, k_p) * scale
+        wc = jax.nn.softmax(
+            jnp.concatenate(
+                [jnp.broadcast_to(s_cc[:, None, :, None], (b, t, h, 1)),
+                 s_cp], axis=-1), axis=-1)
+        ctx_c = (jnp.einsum("bth,bhd->bthd", wc[..., 0], v_c)
+                 + jnp.einsum("bthn,bnthd->bthd", wc[..., 1:], v_p))
+
+        # Same remat-policy names as FusedQKVAttention: saving the contexts
+        # lets the remat pass skip both softmax forwards.
+        ctx_p = checkpoint_name(ctx_p, "attn_out")
+        ctx_c = checkpoint_name(ctx_c, "attn_out")
+        return out(ctx_c.reshape(b, t, d)), out(ctx_p.reshape(b, n, t, d))
+
+
+class TimesformerLayerNT(nn.Module):
+    """Transpose-free "nt"-layout TimeSformer layer.
+
+    Carries (cls (B,1,D), patches (B,N,T,D)) — n-major, so the temporal
+    split (B*N, T, D) is a FREE reshape and the spatial block runs through
+    :class:`DividedSpatialAttention` with zero transposes. Parameter tree
+    identical to :class:`TimesformerLayer` (module names match; Dense and
+    LayerNorm act on the trailing dim regardless of rank), so checkpoints
+    interchange between layouts."""
+
+    config: TimesformerConfig
+
+    @nn.compact
+    def __call__(self, x) -> tuple:
+        cfg = self.config
+        cls, patches = x
+        b, n, t, d = patches.shape
+
+        # Temporal attention: (B, N, T, D) -> (B*N, T, D) is row-major-free.
+        pt = patches.reshape(b * n, t, d)
+        h = nn.LayerNorm(epsilon=cfg.layer_norm_eps,
+                         name="temporal_layernorm")(pt)
+        h = FusedQKVAttention(cfg.hidden_size, cfg.num_heads, dtype=cfg.dtype,
+                              name="temporal_attention")(h)
+        h = nn.Dense(cfg.hidden_size, dtype=cfg.dtype,
+                     name="temporal_dense")(h.reshape(b, n, t, d))
+        patches = patches + h
+
+        # Spatial attention (per frame, cls fused as an extra token).
+        ln_before = nn.LayerNorm(epsilon=cfg.layer_norm_eps,
+                                 name="layernorm_before")
+        out_c, out_p = DividedSpatialAttention(
+            cfg.hidden_size, cfg.num_heads, dtype=cfg.dtype,
+            name="attention")(ln_before(cls), ln_before(patches))
+        cls = cls + out_c.mean(axis=1, keepdims=True)
+        patches = patches + out_p
+
+        # MLP (shared modules across cls/patches — per-token math).
+        ln_after = nn.LayerNorm(epsilon=cfg.layer_norm_eps,
+                                name="layernorm_after")
+        fc1 = nn.Dense(cfg.intermediate_size, dtype=cfg.dtype, name="mlp_fc1")
+        fc2 = nn.Dense(cfg.hidden_size, dtype=cfg.dtype, name="mlp_fc2")
+
+        def mlp(v):
+            return fc2(gelu_exact(fc1(ln_after(v))))
+
+        return cls + mlp(cls), patches + mlp(patches)
+
+
 class TimesformerEmbeddings(nn.Module):
     config: TimesformerConfig
 
@@ -188,11 +305,23 @@ class TimesformerForVideoClassification(nn.Module):
         # (2 x 77 MB bf16 at 32f B8 — well under the HBM freed by remat)
         # so the remat pass skips the N^2 attention forwards; measured on
         # v5e vs plain per-layer remat in BASELINE.md.
+        base = TimesformerLayerNT if cfg.layout == "nt" else TimesformerLayer
         layer_cls = (
-            nn.remat(TimesformerLayer,
+            nn.remat(base,
                      policy=jax.checkpoint_policies.save_only_these_names(
                          "attn_out"))
-            if cfg.remat else TimesformerLayer)
+            if cfg.remat else base)
+        if cfg.layout == "nt":
+            # Flat token order is spatial-major, so the 4-D split is free.
+            b, total, d = x.shape
+            n = (total - 1) // cfg.num_frames
+            state = (x[:, :1], x[:, 1:].reshape(b, n, cfg.num_frames, d))
+            for i in range(cfg.num_layers):
+                state = layer_cls(cfg, name=f"layer_{i}")(state)
+            cls = state[0]
+            cls = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="layernorm")(cls)
+            return nn.Dense(cfg.num_classes, name="classifier")(
+                cls[:, 0]).astype(jnp.float32)
         for i in range(cfg.num_layers):
             x = layer_cls(cfg, name=f"layer_{i}")(x)
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="layernorm")(x)
