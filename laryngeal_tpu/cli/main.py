@@ -73,6 +73,10 @@ def build_parser(model_default: str = None) -> argparse.ArgumentParser:
     p.add_argument("--intermediate_size", type=int, default=None,
                    help="vivit/timesformer MLP width override")
     p.add_argument("--dropout", type=float, default=0.5)
+    p.add_argument("--stochastic_depth", type=float, default=None,
+                   help="swin3d only: override the torchvision-parity "
+                        "stochastic-depth rate (default 0.1); 0 disables "
+                        "drop-path (used by the deterministic train A/B)")
     # Training.
     p.add_argument("--batch_size", type=int, default=4)
     p.add_argument("--num_workers", type=int, default=2,
@@ -255,6 +259,11 @@ def run(args) -> dict:
         # (resnet50-3d-video/.../models/resnet3d.py:12); settable so the
         # cross-framework A/B can pin the un-alignable dropout RNG to off.
         model_kwargs.update(dropout=args.dropout)
+    if args.model == "swin3d" and args.stochastic_depth is not None:
+        # torchvision swin3d trains with stochastic depth 0.1 (our default,
+        # parity with the real reference); the cross-framework train A/B
+        # pins the un-alignable drop-path RNG to off on both sides.
+        model_kwargs.update(stochastic_depth=args.stochastic_depth)
     model = create_model(args.model, **model_kwargs)
 
     loaders = create_dataloaders(

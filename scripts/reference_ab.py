@@ -285,6 +285,55 @@ def write_report(results: dict, path: Path, epochs: int):
     ]
     for variant, cmp_ in results.items():
         lines += [f"## {variant}", ""]
+        if cmp_.get("train_loop"):
+            series = [k[:-4] for k in cmp_ if k.endswith("_ref")
+                      and isinstance(cmp_[k], list)
+                      and k not in ("save_epochs_ref",
+                                    "confusion_matrix_ref")]
+            loop_series = [s for s in ("train_loss", "val_loss",
+                                       "val_auroc", "learning_rate")
+                           if s in series]
+            lines += ["| epoch | " + " | ".join(
+                f"ref {s} | ours {s}" for s in loop_series) + " |",
+                "|---|" + "---|" * (2 * len(loop_series))]
+            for i in range(cmp_["epochs"]):
+                cells = []
+                for s in loop_series:
+                    cells += [f"{cmp_[f'{s}_ref'][i]:.4f}",
+                              f"{cmp_[f'{s}_ours'][i]:.4f}"]
+                lines.append(f"| {i} | " + " | ".join(cells) + " |")
+            lines.append("")
+            for s in series:
+                d = cmp_.get(f"{s}_max_abs_delta")
+                if d is not None:
+                    lines.append(f"- max |Δ| {s}: {d}")
+            if "save_epochs_ref" in cmp_:
+                lines.append(
+                    f"- selection (save) events: ref "
+                    f"{cmp_['save_epochs_ref']} vs ours "
+                    f"{cmp_['save_epochs_ours']} "
+                    f"({'MATCH' if cmp_['save_epochs_match'] else 'DIFFER'})")
+            if "epochs_ran_ref" in cmp_:
+                lines.append(
+                    f"- epochs ran (early-stop quirk): ref "
+                    f"{cmp_['epochs_ran_ref']} vs ours "
+                    f"{cmp_['epochs_ran_ours']}; best-model saves: ref "
+                    f"{cmp_['n_saves_ref']} vs ours {cmp_['n_saves_ours']}")
+            lines += [
+                f"- best epoch: ref {cmp_['best_epoch_ref']} vs ours "
+                f"{cmp_['best_epoch_ours']} "
+                f"({'MATCH' if cmp_['best_epoch_match'] else 'DIFFER'})",
+                f"- test AUROC: ref {cmp_['test_auroc_ref']} vs ours "
+                f"{cmp_['test_auroc_ours']}; F1: ref "
+                f"{cmp_['test_f1_score_ref']} vs ours "
+                f"{cmp_['test_f1_score_ours']}",
+                f"- confusion matrix ref {cmp_['confusion_matrix_ref']} vs "
+                f"ours {cmp_['confusion_matrix_ours']}",
+            ]
+            if cmp_.get("notes"):
+                lines.append(f"- {cmp_['notes']}")
+            lines.append("")
+            continue
         if cmp_.get("inference_only"):
             lines += [
                 "Inference A/B (the swin family's train CLI has no "
@@ -690,8 +739,349 @@ def run_swin_inference_ab(workdir: Path) -> dict:
             "max_confidence_delta": max(r["confidence_delta"] for r in rows)}
 
 
+# ---------------------------------------------------------------------------
+# Whole-TRAIN-loop A/Bs for the two loop-divergent trainers (round-3 VERDICT
+# next #4): resnet50_lstm (composite-score checkpointing + per-epoch wandb +
+# ReduceLROnPlateau-on-AUROC, resnet50-2d-lstm/src/trainer/trainer.py:99-122,
+# 252,264-275) and swin3d (constructs EarlyStopping the loop never consults
+# -> always runs full epochs, videoswintransformer/.../trainers/trainer.py:
+# 37-44 + its train() loop).
+
+
+def make_train_ab_dataset(root: Path) -> Path:
+    """Same identity-round-trip recipe as make_resnet3d_dataset, but val=4:
+    the lstm reference's val DataLoader uses drop_last=True
+    (resnet50-2d-lstm/main.py:165-167), so the val split must fill a whole
+    batch or the validation phase sees zero samples."""
+    from laryngeal_tpu.data.synthetic import make_synthetic_dataset
+
+    return make_synthetic_dataset(
+        str(root), {"train": 4, "val": 4, "test": 4}, num_frames=NUM_FRAMES,
+        h=IMAGE, w=IMAGE, fps=30.0, seed=13, varied_lengths=False)
+
+
+def capture_lstm_train_init(out_dir: Path) -> Path:
+    """Reproduce the EXACT init the unmodified lstm main.py trains from:
+    it calls set_seed(SEED=42) (main.py:69, src/config/config.py:4) and
+    constructs VideoResNet50LSTM as the first torch-RNG consumer (datasets,
+    visualizations and dataloaders draw no torch randomness under uniform
+    sampling), so replaying set_seed -> ctor yields the identical state
+    dict, which is then fed to OUR CLI via --torch_weights."""
+    out_dir.mkdir(parents=True, exist_ok=True)
+    sd_path = out_dir / "lstm_train_sd.pth"
+    code = ("import torch; "
+            "from src.utils.logging_utils import set_seed; "
+            "from src.config.config import SEED; "
+            "set_seed(SEED); "
+            "from src.models.model import VideoResNet50LSTM; "
+            "m = VideoResNet50LSTM(hidden_size=256, num_layers=2, "
+            "dropout=0.0); "
+            f"torch.save(m.state_dict(), {str(sd_path)!r})")
+    env = os.environ.copy()
+    env["PYTHONPATH"] = os.pathsep.join(
+        [str(REFERENCE / "resnet50-2d-lstm"), str(STUBS)])
+    proc = subprocess.run([sys.executable, "-c", code], env=env,
+                          capture_output=True, text=True, timeout=300)
+    if proc.returncode != 0:
+        raise RuntimeError(
+            f"lstm train-init capture failed:\n{proc.stderr[-2000:]}")
+    return sd_path
+
+
+def _parse_save_epochs(log_text: str, pattern: str) -> list:
+    import re
+
+    return [int(m.group(1)) for m in re.finditer(pattern, log_text)]
+
+
+def run_reference_lstm_train(data_dir: Path, workdir: Path, epochs: int,
+                             timeout_s: int = 7200) -> dict:
+    """The unmodified ``resnet50-2d-lstm/main.py`` in TRAIN mode: BCE with
+    pos_weight 1.5*n0/n1, masked Adam over the unfrozen params,
+    composite-score model selection (trainer.py:99-122), per-epoch wandb
+    logging, ReduceLROnPlateau(mode=max on val_auroc, factor .5, patience 5,
+    trainer.py:50-52,252). The wandb stub records the reference's own
+    per-epoch log stream (incl. learning_rate) to JSONL; save events come
+    from its experiment log."""
+    logs = workdir / "ref_lstm_train_logs"
+    models = workdir / "ref_lstm_train_models"
+    wandb_jsonl = workdir / "ref_lstm_wandb.jsonl"
+    if wandb_jsonl.exists():
+        wandb_jsonl.unlink()
+    env = os.environ.copy()
+    env["PYTHONPATH"] = os.pathsep.join(
+        [str(REFERENCE / "resnet50-2d-lstm"), str(STUBS)]
+        + ([env["PYTHONPATH"]] if env.get("PYTHONPATH") else []))
+    env.update(MPLBACKEND="Agg", CUDA_VISIBLE_DEVICES="",
+               LARYNGEAL_STUB_DECODE="1", LARYNGEAL_STUB_DETERMINISTIC="1",
+               LARYNGEAL_STUB_WANDB_JSONL=str(wandb_jsonl))
+    cmd = [sys.executable, str(REFERENCE / "resnet50-2d-lstm" / "main.py"),
+           "--data_dir", str(data_dir),
+           "--log_dir", str(logs), "--model_dir", str(models),
+           "--sequence_length", str(NUM_FRAMES),
+           "--batch_size", str(BATCH), "--num_workers", "0",
+           "--epochs", str(epochs), "--patience", "99",
+           "--dropout", "0.0", "--learning_rate", "0.001",
+           "--loss_weight", "0.3"]
+    proc = subprocess.run(cmd, cwd=str(workdir), env=env, timeout=timeout_s,
+                          capture_output=True, text=True)
+    if proc.returncode != 0:
+        raise RuntimeError(
+            f"reference lstm train failed (rc={proc.returncode}):\n"
+            f"--- stdout ---\n{proc.stdout[-4000:]}\n"
+            f"--- stderr ---\n{proc.stderr[-4000:]}")
+    exp_dir = _newest(logs, "resnet50_lstm_enhanced_*")
+    rows = [json.loads(ln) for ln in wandb_jsonl.read_text().splitlines()]
+    epoch_rows = [r for r in rows if "epoch" in r and "val_loss" in r]
+    history = {k: [r[k] for r in epoch_rows]
+               for k in ("train_loss", "val_loss", "train_acc", "val_acc",
+                         "train_auroc", "val_auroc", "learning_rate")}
+    log_text = "\n".join(p.read_text() for p in exp_dir.glob("*.log"))
+    save_epochs = _parse_save_epochs(
+        log_text, r"Saving best model at epoch (\d+)")
+    metrics = json.loads((exp_dir / "test_metrics.json").read_text())
+    return {"history": history, "save_epochs": save_epochs,
+            "best_epoch": save_epochs[-1] if save_epochs else None,
+            "metrics": metrics, "exp_dir": str(exp_dir)}
+
+
+def run_ours_lstm_train(data_dir: Path, sd_path: Path, workdir: Path,
+                        epochs: int, timeout_s: int = 7200) -> dict:
+    logs = workdir / "ours_lstm_train_logs"
+    argv = ["--model", "resnet50_lstm", "--data_dir", str(data_dir),
+            "--log_dir", str(logs),
+            "--num_frames", str(NUM_FRAMES), "--batch_size", str(BATCH),
+            "--epochs", str(epochs), "--patience", "99",
+            "--torch_weights", str(sd_path), "--dropout", "0.0",
+            "--learning_rate", "0.001", "--loss_weight", "0.3",
+            "--seed", "42"]
+    code = ("import jax; jax.config.update('jax_platforms', 'cpu'); "
+            "from laryngeal_tpu.cli.main import main; "
+            f"main({argv!r})")
+    env = os.environ.copy()
+    env["PYTHONPATH"] = os.pathsep.join(
+        [str(REPO)] + ([env["PYTHONPATH"]] if env.get("PYTHONPATH") else []))
+    env.update(MPLBACKEND="Agg", LARYNGEAL_PRETRAINED="0",
+               JAX_PLATFORMS="cpu", LARYNGEAL_NO_AUGMENT="1")
+    proc = subprocess.run([sys.executable, "-c", code], cwd=str(workdir),
+                          env=env, timeout=timeout_s, capture_output=True,
+                          text=True)
+    if proc.returncode != 0:
+        raise RuntimeError(
+            f"ours lstm train failed (rc={proc.returncode}):\n"
+            f"--- stdout ---\n{proc.stdout[-4000:]}\n"
+            f"--- stderr ---\n{proc.stderr[-4000:]}")
+    exp_dir = _newest(logs, "resnet50_lstm-classifier-*")
+    history = json.loads((exp_dir / "training_history.json").read_text())
+    history["learning_rate"] = history.get("lr", [])
+    metrics = json.loads((exp_dir / "test_metrics_uniform.json").read_text())
+    best = json.loads((exp_dir / "best_model" / "metadata.json").read_text())
+    log_text = "\n".join(p.read_text() for p in exp_dir.glob("*.log"))
+    save_epochs = _parse_save_epochs(
+        log_text, r"Saved best model \(epoch (\d+)\)")
+    return {"history": history, "save_epochs": save_epochs,
+            "best_epoch": int(best["epoch"]) + 1,  # ref logs are 1-based
+            "metrics": metrics, "exp_dir": str(exp_dir)}
+
+
+def capture_swin_train_init(out_dir: Path) -> Path:
+    """Reproduce the unmodified swin main.py's init: it seeds
+    torch/np/random with args.seed (main.py:73-76) and creates the model
+    BEFORE the dataloaders (main.py:90-101), so manual_seed(42) ->
+    create_model(pretrained=False) replays the identical state dict."""
+    out_dir.mkdir(parents=True, exist_ok=True)
+    sd_path = out_dir / "swin_train_sd.pth"
+    code = ("import torch, numpy as np, random, logging; "
+            "torch.manual_seed(42); np.random.seed(42); random.seed(42); "
+            "from swin_video_classifier.models.swin3d import create_model; "
+            "m = create_model(logging.getLogger(), model_size='tiny', "
+            "pretrained=False, num_classes=2); "
+            f"torch.save(m.state_dict(), {str(sd_path)!r})")
+    env = os.environ.copy()
+    env["PYTHONPATH"] = os.pathsep.join(
+        [str(REFERENCE / "videoswintransformer"), str(STUBS)])
+    proc = subprocess.run([sys.executable, "-c", code], env=env,
+                          capture_output=True, text=True, timeout=600)
+    if proc.returncode != 0:
+        raise RuntimeError(
+            f"swin train-init capture failed:\n{proc.stderr[-2000:]}")
+    return sd_path
+
+
+def run_reference_swin_train(data_dir: Path, workdir: Path, epochs: int,
+                             timeout_s: int = 14400) -> dict:
+    """The unmodified ``videoswintransformer/main.py`` TRAIN loop: AdamW,
+    CE loss, loss+acc-threshold selection, and the family quirk under test —
+    EarlyStopping is constructed but never consulted, so the loop always
+    runs all --epochs (trainer.py:37-44 + train()). History + best epoch
+    come from the checkpoint the trainer itself persists
+    (_save_best_model, trainer.py:184-201)."""
+    logs = workdir / "ref_swin_train_logs"
+    models = workdir / "ref_swin_train_models"
+    env = os.environ.copy()
+    env["PYTHONPATH"] = os.pathsep.join(
+        [str(REFERENCE / "videoswintransformer"), str(STUBS)]
+        + ([env["PYTHONPATH"]] if env.get("PYTHONPATH") else []))
+    env.update(MPLBACKEND="Agg", CUDA_VISIBLE_DEVICES="",
+               LARYNGEAL_STUB_DECODE="1", LARYNGEAL_STUB_DETERMINISTIC="1")
+    cmd = [sys.executable, str(REFERENCE / "videoswintransformer" / "main.py"),
+           "--data_dir", str(data_dir),
+           "--log_dir", str(logs), "--model_dir", str(models),
+           "--num_frames", str(NUM_FRAMES), "--batch_size", str(BATCH),
+           "--num_workers", "0", "--epochs", str(epochs),
+           "--model_size", "tiny", "--learning_rate", "0.0001",
+           "--weight_decay", "0.05", "--seed", "42",
+           "--patience", "2"]  # patience << epochs: proves the loop ignores it
+    proc = subprocess.run(cmd, cwd=str(workdir), env=env, timeout=timeout_s,
+                          capture_output=True, text=True)
+    if proc.returncode != 0:
+        raise RuntimeError(
+            f"reference swin train failed (rc={proc.returncode}):\n"
+            f"--- stdout ---\n{proc.stdout[-4000:]}\n"
+            f"--- stderr ---\n{proc.stderr[-4000:]}")
+
+    import torch
+
+    exp_dir = _newest(logs, "swin3d-tiny-*")
+    ckpt = torch.load(_newest(models, "*_swin3d-tiny_best_model.pth"),
+                      map_location="cpu", weights_only=False)
+    metrics = json.loads((exp_dir / "test_metrics.json").read_text())
+    import re
+
+    log_text = "\n".join(p.read_text() for p in exp_dir.glob("*.log"))
+    n_saves = len(re.findall(r"New best model saved!", log_text))
+    # epochs_ran from the LOG, not the checkpoint: _save_best_model runs
+    # inside the val phase BEFORE that epoch's history append, so the
+    # persisted history covers [0, best_epoch) only.
+    epochs_ran = len(set(re.findall(r"Epoch (\d+)/\d+ \| Val Loss", log_text)))
+    # Full per-epoch series, also from the log (the trainer only persists
+    # history inside best-model checkpoints).
+    history = {"train_loss": [], "val_loss": [], "train_acc": [],
+               "val_acc": []}
+    for m in re.finditer(
+            r"Epoch \d+/\d+ \| (Train|Val) Loss: ([\d.]+) Acc: ([\d.]+)",
+            log_text):
+        phase = m.group(1).lower()
+        history[f"{phase}_loss"].append(float(m.group(2)))
+        history[f"{phase}_acc"].append(float(m.group(3)))
+    return {"history": history, "best_epoch": int(ckpt["epoch"]) + 1,
+            "epochs_ran": epochs_ran,
+            "n_saves": n_saves, "metrics": metrics,
+            "exp_dir": str(exp_dir)}
+
+
+def run_ours_swin_train(data_dir: Path, sd_path: Path, workdir: Path,
+                        epochs: int, timeout_s: int = 14400) -> dict:
+    logs = workdir / "ours_swin_train_logs"
+    argv = ["--model", "swin3d", "--model_size", "tiny",
+            "--data_dir", str(data_dir), "--log_dir", str(logs),
+            "--num_frames", str(NUM_FRAMES), "--batch_size", str(BATCH),
+            "--epochs", str(epochs), "--patience", "2",
+            "--torch_weights", str(sd_path), "--dropout", "0.0",
+            "--stochastic_depth", "0.0",
+            "--learning_rate", "0.0001", "--weight_decay", "0.05",
+            "--seed", "42"]
+    code = ("import jax; jax.config.update('jax_platforms', 'cpu'); "
+            "from laryngeal_tpu.cli.main import main; "
+            f"main({argv!r})")
+    env = os.environ.copy()
+    env["PYTHONPATH"] = os.pathsep.join(
+        [str(REPO)] + ([env["PYTHONPATH"]] if env.get("PYTHONPATH") else []))
+    env.update(MPLBACKEND="Agg", LARYNGEAL_PRETRAINED="0",
+               JAX_PLATFORMS="cpu", LARYNGEAL_NO_AUGMENT="1")
+    proc = subprocess.run([sys.executable, "-c", code], cwd=str(workdir),
+                          env=env, timeout=timeout_s, capture_output=True,
+                          text=True)
+    if proc.returncode != 0:
+        raise RuntimeError(
+            f"ours swin train failed (rc={proc.returncode}):\n"
+            f"--- stdout ---\n{proc.stdout[-4000:]}\n"
+            f"--- stderr ---\n{proc.stderr[-4000:]}")
+    exp_dir = _newest(logs, "swin3d-classifier-*")
+    history = json.loads((exp_dir / "training_history.json").read_text())
+    metrics = json.loads((exp_dir / "test_metrics_uniform.json").read_text())
+    best = json.loads((exp_dir / "best_model" / "metadata.json").read_text())
+    log_text = "\n".join(p.read_text() for p in exp_dir.glob("*.log"))
+    save_epochs = _parse_save_epochs(
+        log_text, r"Saved best model \(epoch (\d+)\)")
+    return {"history": history, "best_epoch": int(best["epoch"]) + 1,
+            "epochs_ran": len(history["train_loss"]),
+            "n_saves": len(save_epochs), "metrics": metrics,
+            "exp_dir": str(exp_dir)}
+
+
+def compare_train_loop(ref: dict, ours: dict, series, notes: str = "") -> dict:
+    """Loop-level comparison: per-epoch metric series, selection (save)
+    events, best epoch, lr trajectory, final test metrics."""
+    import numpy as np
+
+    out = {"train_loop": True, "notes": notes,
+           "epochs": len(ref["history"]["train_loss"])}
+    for k in series:
+        r = np.asarray(ref["history"].get(k, []), dtype=float)
+        o = np.asarray(ours["history"].get(k, []), dtype=float)[:len(r)]
+        out[f"{k}_ref"] = [round(x, 6) for x in r.tolist()]
+        out[f"{k}_ours"] = [round(x, 6) for x in o.tolist()]
+        out[f"{k}_max_abs_delta"] = (round(float(np.abs(r - o).max()), 6)
+                                     if len(o) == len(r) and len(r) else None)
+    if "save_epochs" in ref:
+        out["save_epochs_ref"] = ref["save_epochs"]
+        out["save_epochs_ours"] = ours["save_epochs"]
+        out["save_epochs_match"] = ref["save_epochs"] == ours["save_epochs"]
+    for k in ("epochs_ran", "n_saves"):
+        if k in ref:
+            out[f"{k}_ref"], out[f"{k}_ours"] = ref[k], ours[k]
+    out["best_epoch_ref"] = ref["best_epoch"]
+    out["best_epoch_ours"] = ours["best_epoch"]
+    out["best_epoch_match"] = ref["best_epoch"] == ours["best_epoch"]
+    rm, om = ref["metrics"], ours["metrics"]
+    for k in ("accuracy", "f1_score", "auroc"):
+        out[f"test_{k}_ref"] = round(float(rm.get(k, float("nan"))), 6)
+        out[f"test_{k}_ours"] = round(float(om.get(k, float("nan"))), 6)
+    cm_r = np.asarray(rm.get("confusion_matrix", []))
+    cm_o = np.asarray(om.get("confusion_matrix", []))
+    out["confusion_matrix_ref"] = cm_r.tolist()
+    out["confusion_matrix_ours"] = cm_o.tolist()
+    return out
+
+
 def run_ab(variant: str, workdir: Path, epochs: int = 3) -> dict:
     workdir.mkdir(parents=True, exist_ok=True)
+    if variant == "resnet50_lstm_train":
+        data = make_train_ab_dataset(workdir / "data")
+        sd = capture_lstm_train_init(workdir / "weights")
+        ref = run_reference_lstm_train(data, workdir, epochs)
+        ours = run_ours_lstm_train(data, sd, workdir, epochs)
+        return compare_train_loop(
+            ref, ours,
+            series=("train_loss", "val_loss", "train_acc", "val_acc",
+                    "train_auroc", "val_auroc", "learning_rate"),
+            notes=(
+                "Whole-TRAIN-loop A/B of the reference's unique loop "
+                "behavior: composite-score checkpointing (0.3*normalized "
+                "loss + 0.7*val_auroc, trainer.py:99-122), per-epoch wandb "
+                "stream (recorded verbatim by the stub), and "
+                "ReduceLROnPlateau on val_auroc (mode=max, factor 0.5, "
+                "patience 5, trainer.py:50-52,252). Identical init "
+                "(set_seed(42) replay), frozen random trunk (torchvision "
+                "stub; loop behavior, not ImageNet quality, is under "
+                "test), dropout 0, deterministic transforms both sides."))
+    if variant == "swin3d_train":
+        data = make_train_ab_dataset(workdir / "data")
+        sd = capture_swin_train_init(workdir / "weights")
+        ref = run_reference_swin_train(data, workdir, epochs)
+        ours = run_ours_swin_train(data, sd, workdir, epochs)
+        return compare_train_loop(
+            ref, ours,
+            series=("train_loss", "val_loss", "train_acc", "val_acc"),
+            notes=(
+                "Whole-TRAIN-loop A/B of the swin family quirk: "
+                "EarlyStopping is constructed but never consulted "
+                "(trainer.py:37-44), so with patience=2 << epochs BOTH "
+                "sides must run all epochs (epochs_ran below). Selection "
+                "is loss-improved AND acc within 0.02 of best. Identical "
+                "init (manual_seed(42) replay of create_model), AdamW "
+                "1e-4/wd 0.05, deterministic transforms both sides."))
     if variant == "swin3d":
         return run_swin_inference_ab(workdir)
     if variant == "resnet50_lstm":
@@ -728,7 +1118,9 @@ def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--variant", default="both",
                     choices=["vivit", "timesformer", "resnet3d",
-                             "resnet50_lstm", "swin3d", "both", "all"])
+                             "resnet50_lstm", "swin3d",
+                             "resnet50_lstm_train", "swin3d_train",
+                             "both", "all"])
     ap.add_argument("--workdir", default="/tmp/laryngeal_ab")
     ap.add_argument("--epochs", type=int, default=3)
     ap.add_argument("--report", default=str(REPO / "AB_REPORT.md"))
@@ -736,14 +1128,41 @@ def main():
 
     variants = {"both": ["vivit", "timesformer"],
                 "all": ["vivit", "timesformer", "resnet3d",
-                        "resnet50_lstm", "swin3d"]}.get(
+                        "resnet50_lstm", "swin3d",
+                        "resnet50_lstm_train", "swin3d_train"]}.get(
                     args.variant, [args.variant])
-    results = {}
+    # Merge with previous runs (JSON sidecar next to the report) so a
+    # partial --variant rerun refreshes its section without clobbering the
+    # other variants' sections.
+    sidecar = Path(args.report).with_suffix(".json")
+    had_sidecar = sidecar.exists()
+    results = json.loads(sidecar.read_text()) if had_sidecar else {}
     for v in variants:
         print(f"=== A/B {v} ===", flush=True)
         results[v] = run_ab(v, Path(args.workdir) / v, args.epochs)
         print(json.dumps(results[v], indent=2), flush=True)
-    write_report(results, Path(args.report), args.epochs)
+    sidecar.write_text(json.dumps(results, indent=2))
+    report = Path(args.report)
+    if report.exists() and not had_sidecar:
+        # Report predates the sidecar (older-round sections we can't
+        # regenerate): surgically replace/append just this run's sections.
+        import re as _re
+
+        text = report.read_text()
+        for v in variants:
+            tmp = report.parent / (report.name + f".{v}.tmp")
+            write_report({v: results[v]}, tmp, args.epochs)
+            section = f"## {v}\n" + tmp.read_text().split(f"## {v}\n", 1)[1]
+            tmp.unlink()
+            pat = _re.compile(rf"## {_re.escape(v)}\n.*?(?=\n## |\Z)",
+                              _re.DOTALL)
+            if pat.search(text):
+                text = pat.sub(lambda _m: section.rstrip("\n") + "\n", text)
+            else:
+                text = text.rstrip("\n") + "\n\n" + section
+        report.write_text(text)
+    else:
+        write_report(results, report, args.epochs)
     print(f"report -> {args.report}")
 
 
