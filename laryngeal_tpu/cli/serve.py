@@ -26,7 +26,13 @@ def build_parser(model_default=None) -> argparse.ArgumentParser:
     p.add_argument("--host", type=str, default="127.0.0.1")
     p.add_argument("--port", type=int, default=8008, help="0 picks a free port")
     p.add_argument("--max_batch", type=int, default=8,
-                   help="Dynamic-batching window — also the ONE compiled batch shape")
+                   help="Dynamic-batching window — also the largest compiled batch shape")
+    p.add_argument("--batch_buckets", type=str, default=None,
+                   help="Comma-separated compiled batch shapes "
+                        "(e.g. '1,4,8'): each dispatch pads to the smallest "
+                        "bucket that fits instead of always max_batch — "
+                        "lower latency at low concurrency for one extra "
+                        "compile per bucket (all pre-warmed at startup)")
     p.add_argument("--batch_timeout_ms", type=float, default=30.0,
                    help="Max wait to fill a batch before dispatching")
     p.add_argument("--max_upload_mb", type=float, default=512.0,
@@ -106,17 +112,25 @@ def main(argv=None, model_default=None):
     # the first real request would eat it; CLAUDE.md relay rules).
     import numpy as np
 
-    warm = np.random.default_rng(0).integers(
-        0, 256, (args.max_batch, predictor.num_frames,
-                 predictor.crop_size, predictor.crop_size, 3), dtype=np.uint8)
-    predictor.predict_clip(warm)
-    logger.info("Forward graph compiled for batch shape %s", warm.shape)
+    buckets = ([int(b) for b in args.batch_buckets.split(",")]
+               if args.batch_buckets else [args.max_batch])
+    if max(buckets) < args.max_batch:
+        buckets.append(args.max_batch)
+    rng = np.random.default_rng(0)
+    for b in sorted(set(buckets), reverse=True):  # largest pays relay warmup
+        warm = rng.integers(
+            0, 256, (b, predictor.num_frames,
+                     predictor.crop_size, predictor.crop_size, 3),
+            dtype=np.uint8)
+        predictor.predict_clip(warm)
+        logger.info("Forward graph compiled for batch shape %s", warm.shape)
 
     server = InferenceServer(
         predictor, host=args.host, port=args.port,
         max_batch=args.max_batch, batch_timeout_ms=args.batch_timeout_ms,
         max_upload_mb=args.max_upload_mb, data_root=args.data_root,
         logger=logger,
+        bucket_sizes=buckets if args.batch_buckets else None,
     )
     print(f"serving on http://{args.host}:{server.port}", flush=True)
     server.serve_forever()

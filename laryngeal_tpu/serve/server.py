@@ -47,9 +47,23 @@ class DynamicBatcher:
     """
 
     def __init__(self, predict_batch, max_batch: int = 8,
-                 batch_timeout_ms: float = 30.0, logger=None):
+                 batch_timeout_ms: float = 30.0, logger=None,
+                 bucket_sizes=None):
         self.predict_batch = predict_batch
         self.max_batch = int(max_batch)
+        # Compiled batch shapes, ascending. Default = the single max_batch
+        # shape (round-3 behavior). With e.g. (1, 4, 8) a lone request pads
+        # to 1 instead of 8 — 8x less device work at low concurrency; each
+        # bucket is one extra compile (cli.serve pre-warms them all before
+        # accepting traffic, and the persistent compile cache makes server
+        # restarts free). ExportedPredictor artifacts bake their own shape
+        # set at export time and re-bucket internally either way.
+        buckets = sorted(set(int(b) for b in (bucket_sizes or ())))
+        if any(b < 1 or b > self.max_batch for b in buckets):
+            raise ValueError(f"bucket sizes {buckets} outside [1, max_batch]")
+        self.bucket_sizes = tuple(buckets) or (self.max_batch,)
+        if self.bucket_sizes[-1] != self.max_batch:
+            self.bucket_sizes = self.bucket_sizes + (self.max_batch,)
         self.timeout_s = float(batch_timeout_ms) / 1e3
         self.logger = logger or logging.getLogger(__name__)
         self._q: "queue.Queue" = queue.Queue()
@@ -59,6 +73,7 @@ class DynamicBatcher:
         self.n_batches = 0
         self.n_errors = 0
         self.sum_fill = 0
+        self.bucket_counts = {b: 0 for b in self.bucket_sizes}
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
@@ -103,7 +118,10 @@ class DynamicBatcher:
                 return
             clips = [c for c, _ in batch]
             n_real = len(clips)
-            while len(clips) < self.max_batch:  # keep ONE jit shape
+            # Smallest compiled bucket that fits — pad with the last clip
+            # so every dispatched shape is one of the pre-compiled set.
+            target = next(b for b in self.bucket_sizes if b >= n_real)
+            while len(clips) < target:
                 clips.append(clips[-1])
             try:
                 probs = np.asarray(self.predict_batch(np.stack(clips)))
@@ -118,6 +136,7 @@ class DynamicBatcher:
             with self._lock:
                 self.n_batches += 1
                 self.sum_fill += n_real
+                self.bucket_counts[target] += 1
 
     def stats(self) -> dict:
         with self._lock:
@@ -126,6 +145,8 @@ class DynamicBatcher:
                 "batches": self.n_batches,
                 "batch_errors": self.n_errors,
                 "max_batch": self.max_batch,
+                "bucket_sizes": list(self.bucket_sizes),
+                "bucket_dispatches": dict(self.bucket_counts),
                 "mean_batch_fill": (self.sum_fill / self.n_batches
                                     if self.n_batches else 0.0),
             }
@@ -137,7 +158,7 @@ class InferenceServer:
     def __init__(self, predictor, host: str = "127.0.0.1", port: int = 8008,
                  max_batch: int = 8, batch_timeout_ms: float = 30.0,
                  max_upload_mb: float = 512.0, data_root: Optional[str] = None,
-                 logger=None):
+                 logger=None, bucket_sizes=None):
         self.predictor = predictor
         self.logger = logger or logging.getLogger(__name__)
         # Abuse-surface controls (dev server, loopback by default):
@@ -153,7 +174,7 @@ class InferenceServer:
         self.batcher = DynamicBatcher(
             lambda clips: predictor.predict_clip(clips),
             max_batch=max_batch, batch_timeout_ms=batch_timeout_ms,
-            logger=self.logger,
+            logger=self.logger, bucket_sizes=bucket_sizes,
         )
         self.t_start = time.monotonic()
         server = self

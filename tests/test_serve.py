@@ -145,6 +145,37 @@ def test_batcher_pads_and_resolves_errors():
     b.close()
 
 
+def test_batcher_buckets_dispatch_smallest_fit():
+    """bucket_sizes: a lone request pads to the smallest compiled shape,
+    a burst fills the big bucket; stats expose per-bucket dispatches."""
+    calls = []
+
+    def predict(clips):
+        calls.append(clips.shape[0])
+        return np.tile([[0.5, 0.5]], (clips.shape[0], 1))
+
+    b = DynamicBatcher(predict, max_batch=4, batch_timeout_ms=40,
+                       bucket_sizes=(1, 2, 4))
+    clip = np.zeros((4, 8, 8, 3), np.uint8)
+    b.submit(clip).result(timeout=5)
+    assert calls[-1] == 1  # lone request -> B=1 bucket, not max_batch
+    futs = [b.submit(clip) for _ in range(3)]
+    [f.result(timeout=5) for f in futs]
+    assert calls[-1] in (2, 4)  # 3 reqs -> the 4-bucket (or 2+1 split)
+    st = b.stats()
+    assert st["bucket_sizes"] == [1, 2, 4]
+    assert sum(st["bucket_dispatches"].values()) == st["batches"]
+    assert st["bucket_dispatches"][1] >= 1
+    b.close()
+
+    with pytest.raises(ValueError):
+        DynamicBatcher(predict, max_batch=4, bucket_sizes=(0, 4))
+    # max_batch is appended when missing so every burst has a home.
+    b2 = DynamicBatcher(predict, max_batch=4, bucket_sizes=(1, 2))
+    assert b2.bucket_sizes == (1, 2, 4)
+    b2.close()
+
+
 def test_serve_from_exported_artifact(predictor, video_path, tmp_path):
     """The server runs against an AOT artifact (ExportedPredictor drop-in)
     with no checkpoint/model code, and matches the live predictor."""
