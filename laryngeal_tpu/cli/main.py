@@ -157,13 +157,18 @@ def build_parser(model_default: str = None) -> argparse.ArgumentParser:
                         "dct bytes) — the decode fuses into the jitted step")
     p.add_argument("--wire_quality", type=int, default=75,
                    help="dct wire quantizer quality (1-100)")
-    p.add_argument("--wire_keep_ac", type=int, default=31,
+    p.add_argument("--wire_keep_ac", type=int, default=15,
                    help="dct/dctp wire: zigzag AC planes kept (<=63); fewer "
-                        "planes = fewer wire bytes at more quantization loss")
-    p.add_argument("--wire_pack_from", type=int, default=14,
+                        "planes = fewer wire bytes at more quantization "
+                        "loss. Default 15 = the measured bench operating "
+                        "point; the round-4 learning A/B "
+                        "(scripts/ab_train_wire_quality.py) shows k15p8 "
+                        "training indistinguishable from k31p14 and the "
+                        "rgb control. --wire_keep_ac 31 --wire_pack_from "
+                        "14 restores the near-lossless wire")
+    p.add_argument("--wire_pack_from", type=int, default=8,
                    help="dctp wire: first zigzag AC plane to nibble-pack "
-                        "(planes >= this are clamped to [-8,7]; 14 is "
-                        "near-lossless at quality 75)")
+                        "(planes >= this are clamped to [-8,7])")
     p.add_argument("--no_cache_clips", action="store_true")
     p.add_argument("--clip_cache_mb", type=int, default=2048,
                    help="RAM budget (MiB) for the decoded-clip LRU cache")
