@@ -30,6 +30,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Bake W8A8 dynamically-quantized Dense layers "
                         "(~4x smaller artifact, 8e-4 measured prob drift; "
                         "speed-neutral here — fwd is attention-bound)")
+    p.add_argument("--weights_mode", type=str, default="baked",
+                   choices=["baked", "args"],
+                   help="baked: weights as StableHLO constants in EVERY "
+                        "graph (max self-contained); args: weights stored "
+                        "once in the artifact, graphs take them as inputs "
+                        "- multi-batch-size artifacts stop paying the "
+                        "weight bytes per graph")
     p.add_argument("--weights_dtype", type=str, default=None,
                    choices=["bf16"],
                    help="Bake weights at reduced precision (half the "
@@ -59,6 +66,7 @@ def main(argv=None):
         args.model, args.model_path, args.out,
         batch_sizes=batch_sizes, platforms=platforms, quantize=args.quantize,
         weights_dtype=args.weights_dtype,
+        weights_mode=args.weights_mode,
         num_frames=args.num_frames, sampling_method=args.sampling_method,
         num_classes=args.num_classes, crop_size=args.crop_size,
         image_size=args.image_size, model_size=args.model_size,

@@ -35,6 +35,10 @@ def build_parser(model_default=None) -> argparse.ArgumentParser:
                         "compile per bucket (all pre-warmed at startup)")
     p.add_argument("--batch_timeout_ms", type=float, default=30.0,
                    help="Max wait to fill a batch before dispatching")
+    p.add_argument("--decode_threads", type=int, default=None,
+                   help="Concurrent host video decodes admitted (default: "
+                        "cpu count) — excess requests queue instead of "
+                        "thrashing the decode cores")
     p.add_argument("--max_upload_mb", type=float, default=512.0,
                    help="Reject /predict bodies larger than this (MB)")
     p.add_argument("--data_root", type=str, default=None,
@@ -131,6 +135,7 @@ def main(argv=None, model_default=None):
         max_upload_mb=args.max_upload_mb, data_root=args.data_root,
         logger=logger,
         bucket_sizes=buckets if args.batch_buckets else None,
+        decode_threads=args.decode_threads,
     )
     print(f"serving on http://{args.host}:{server.port}", flush=True)
     server.serve_forever()

@@ -13,8 +13,22 @@ deployed artifact never triggers a recompile.
 
 Artifact layout (single ``.zip`` file):
     meta.json      {"model", "class_labels", "num_frames", "crop_size",
-                    "sampling_method", "batch_sizes", "platforms", ...}
+                    "sampling_method", "batch_sizes", "platforms",
+                    "weights_mode", ...}
     b{N}.bin       jax.export serialization of the N-clip graph
+    w{K}.raw       (weights_mode="args" only) the K-th weight leaf's raw
+                   bytes; shapes/dtypes in meta["weights_manifest"]
+
+``weights_mode``: "baked" (default) folds the weights into every graph as
+StableHLO constants — maximally self-contained, but a multi-batch-size
+artifact stores the weights once PER GRAPH (measured: a (1,2,4,8) int8
+ViViT-B artifact is 354 MB vs 97 MB single-size). "args" exports the
+graphs as functions of a flat weight list and stores the weights ONCE in
+the zip — a (1,2,4,8) artifact costs one weight set + ~KB-scale graphs,
+and the per-graph StableHLO stays small enough for body-size-capped
+remote-compile channels (BASELINE.md: the relay 413-rejects ~350 MB baked
+f32 graphs). Still fully self-contained: the loader rebuilds the leaf list
+from the manifest with no model code.
 
 The reference redeploys by re-instantiating the torch module tree and
 loading a ``.pth`` (``vivit_transformer/inference.py:31-88``); this replaces
@@ -37,25 +51,33 @@ import numpy as np
 from .base import VideoPredictorBase
 
 _META_NAME = "meta.json"
-_FORMAT_VERSION = 1
+# v2: weights_mode="args" artifacts (w{K}.raw leaves + weights_manifest).
+# v1 ("baked") artifacts load unchanged; older loaders reject v2 cleanly.
+_FORMAT_VERSION = 2
 
 
 def export_predictor(predictor, batch_sizes: Sequence[int] = (1, 8),
                      platforms: Optional[Sequence[str]] = None,
                      quantize: Optional[str] = None,
-                     weights_dtype: Optional[str] = None) -> Dict:
+                     weights_dtype: Optional[str] = None,
+                     weights_mode: str = "baked") -> Dict:
     """AOT-export ``predictor``'s jitted forward at each batch size.
 
-    Weights are closed over (baked into the StableHLO as constants), so the
-    artifact is self-contained. ``quantize="int8"`` bakes W8A8
-    dynamically-quantized Dense layers instead (``ops.quant``): ~4x smaller
-    artifacts for the transformer families at 8e-4 measured probability
-    drift; speed-neutral on this chip (the fwd is attention-bound —
-    BASELINE.md), faster where the MXU's int8 rate is realized. Returns
-    ``{"meta": dict, "blobs": {N: bytes}}``; use :func:`save_exported` to
-    write the zip.
+    ``weights_mode="baked"`` closes the weights over (StableHLO constants
+    in EVERY graph); ``"args"`` exports graphs as functions of a flat
+    weight-leaf list stored once in the artifact (see module docstring for
+    the size tradeoff). ``quantize="int8"`` bakes W8A8 dynamically-quantized
+    Dense layers instead (``ops.quant``): ~4x smaller artifacts for the
+    transformer families at 8e-4 measured probability drift; speed-neutral
+    on this chip (the fwd is attention-bound — BASELINE.md), faster where
+    the MXU's int8 rate is realized. Returns ``{"meta": dict, "blobs":
+    {N: bytes}, ["weights": list]}``; use :func:`save_exported` to write
+    the zip.
     """
     from jax import export as jexport
+
+    if weights_mode not in ("baked", "args"):
+        raise ValueError(f"unknown weights_mode {weights_mode!r}")
 
     params = predictor.state.params
     batch_stats = predictor.state.batch_stats
@@ -84,17 +106,17 @@ def export_predictor(predictor, batch_sizes: Sequence[int] = (1, 8),
     elif quantize:
         raise ValueError(f"unknown quantize mode {quantize!r} (use 'int8')")
 
-    def forward(pixel_u8):
-        # Re-build rather than reuse predictor._forward: closing over the
-        # weights here is what makes the artifact self-contained.
+    all_variables = {"params": params}
+    if batch_stats:
+        all_variables["batch_stats"] = batch_stats
+    w_leaves, w_treedef = jax.tree_util.tree_flatten(all_variables)
+
+    def apply_model(variables, pixel_u8):
         from ..preprocess.transforms import batch_preprocess
         from ..train.losses import probs_fn
 
         clips = batch_preprocess(pixel_u8, predictor.spec.preprocess_regime,
                                  train=False, crop=hw)
-        variables = {"params": params}
-        if batch_stats:
-            variables["batch_stats"] = batch_stats
         if quant_paths is not None:
             from ..ops.quant import quantized_apply
 
@@ -104,6 +126,17 @@ def export_predictor(predictor, batch_sizes: Sequence[int] = (1, 8),
             logits = predictor.model.apply(variables, clips, train=False)
         return probs_fn(predictor.spec.loss)(logits)
 
+    def forward_baked(pixel_u8):
+        # Closing over the weights is what bakes them into the StableHLO.
+        return apply_model(all_variables, pixel_u8)
+
+    def forward_args(wlist, pixel_u8):
+        # The treedef is trace-time static (closed over); the exported
+        # graph's runtime signature is (flat weight list, pixels) — the
+        # loader rebuilds the list from the manifest, no model code needed.
+        return apply_model(jax.tree_util.tree_unflatten(w_treedef, wlist),
+                           pixel_u8)
+
     kwargs = {}
     if platforms is not None:
         kwargs["platforms"] = list(platforms)
@@ -111,11 +144,23 @@ def export_predictor(predictor, batch_sizes: Sequence[int] = (1, 8),
     blobs = {}
     for b in sorted(set(int(b) for b in batch_sizes)):
         spec = jax.ShapeDtypeStruct((b, t, hw, hw, 3), jnp.uint8)
-        exported = jexport.export(jax.jit(forward), **kwargs)(spec)
+        if weights_mode == "args":
+            w_specs = [jax.ShapeDtypeStruct(x.shape, x.dtype)
+                       for x in w_leaves]
+            exported = jexport.export(jax.jit(forward_args),
+                                      **kwargs)(w_specs, spec)
+        else:
+            exported = jexport.export(jax.jit(forward_baked), **kwargs)(spec)
         blobs[b] = exported.serialize()
 
+    weights_np = ([np.asarray(jax.device_get(x)) for x in w_leaves]
+                  if weights_mode == "args" else None)
     meta = {
-        "format_version": _FORMAT_VERSION,
+        "format_version": _FORMAT_VERSION if weights_mode == "args" else 1,
+        "weights_mode": weights_mode,
+        "weights_manifest": ([{"shape": list(a.shape), "dtype": str(a.dtype)}
+                              for a in weights_np]
+                             if weights_np is not None else None),
         "model": getattr(predictor.spec, "name", type(predictor.model).__name__),
         "class_labels": list(predictor.class_labels),
         "num_frames": int(t),
@@ -129,7 +174,10 @@ def export_predictor(predictor, batch_sizes: Sequence[int] = (1, 8),
         "exported_at": datetime.now().isoformat(),
         "jax_version": jax.__version__,
     }
-    return {"meta": meta, "blobs": blobs}
+    out = {"meta": meta, "blobs": blobs}
+    if weights_np is not None:
+        out["weights"] = weights_np
+    return out
 
 
 def save_exported(artifact: Dict, path) -> Path:
@@ -140,6 +188,10 @@ def save_exported(artifact: Dict, path) -> Path:
         zf.writestr(_META_NAME, json.dumps(artifact["meta"], indent=2))
         for b, blob in artifact["blobs"].items():
             zf.writestr(f"b{b}.bin", blob)
+        for k, arr in enumerate(artifact.get("weights") or ()):
+            # Raw bytes + manifest (meta.weights_manifest): np.savez can't
+            # round-trip bf16/ml_dtypes leaves, tobytes/frombuffer can.
+            zf.writestr(f"w{k}.raw", np.ascontiguousarray(arr).tobytes())
     path.write_bytes(buf.getvalue())  # single atomic-ish write
     return path
 
@@ -152,13 +204,24 @@ class ExportedModel:
     is zero-padded and the padded rows' outputs dropped.
     """
 
-    def __init__(self, meta: Dict, exported_by_batch: Dict[int, "object"]):
+    def __init__(self, meta: Dict, exported_by_batch: Dict[int, "object"],
+                 weights: Optional[List] = None):
         self.meta = meta
         self.class_labels: List[str] = list(meta["class_labels"])
         self.num_frames: int = meta["num_frames"]
         self.crop_size: int = meta["crop_size"]
         self._by_batch = dict(sorted(exported_by_batch.items()))
-        self._calls = {b: jax.jit(e.call) for b, e in self._by_batch.items()}
+        if weights is not None:
+            # args-mode artifact: graphs take (weight list, pixels); stage
+            # the weights on device once and partially apply.
+            w_dev = [jnp.asarray(a) for a in weights]
+            self._calls = {
+                b: (lambda e: jax.jit(
+                    lambda chunk, _e=e: _e.call(w_dev, chunk)))(e)
+                for b, e in self._by_batch.items()}
+        else:
+            self._calls = {b: jax.jit(e.call)
+                           for b, e in self._by_batch.items()}
 
     @classmethod
     def load(cls, path) -> "ExportedModel":
@@ -175,6 +238,16 @@ class ExportedModel:
                 for name in zf.namelist()
                 if name.startswith("b") and name.endswith(".bin")
             }
+            weights = None
+            if meta.get("weights_mode") == "args":
+                manifest = meta["weights_manifest"]
+                weights = []
+                for k, entry in enumerate(manifest):
+                    raw = zf.read(f"w{k}.raw")
+                    arr = np.frombuffer(
+                        raw, dtype=jnp.dtype(entry["dtype"])).reshape(
+                            entry["shape"])
+                    weights.append(arr)
         if not exported:
             raise ValueError(f"no exported graphs in {path}")
         # Fail with a clear message now, not a cryptic lowering error at the
@@ -188,7 +261,7 @@ class ExportedModel:
                 f"but the current jax backend is {backend!r}; re-export "
                 f"with platforms=[{backend!r}] (cli.export --platforms) or "
                 f"load it on matching hardware")
-        return cls(meta, exported)
+        return cls(meta, exported, weights=weights)
 
     @property
     def batch_sizes(self) -> List[int]:
@@ -284,6 +357,7 @@ def export_checkpoint(model_name: str, checkpoint_path, out_path,
                       platforms: Optional[Sequence[str]] = None,
                       quantize: Optional[str] = None,
                       weights_dtype: Optional[str] = None,
+                      weights_mode: str = "baked",
                       **predictor_kwargs) -> Path:
     """Checkpoint dir -> serialized artifact file (CLI entry's core)."""
     from .predictor import Predictor
@@ -291,5 +365,6 @@ def export_checkpoint(model_name: str, checkpoint_path, out_path,
     predictor = Predictor.from_checkpoint(model_name, checkpoint_path,
                                           **predictor_kwargs)
     artifact = export_predictor(predictor, batch_sizes, platforms,
-                                quantize=quantize, weights_dtype=weights_dtype)
+                                quantize=quantize, weights_dtype=weights_dtype,
+                                weights_mode=weights_mode)
     return save_exported(artifact, out_path)

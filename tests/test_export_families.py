@@ -113,6 +113,27 @@ def test_export_int8_roundtrip(live, tmp_path):
     assert (np.argmax(probs, -1) == np.argmax(ref, -1)).all()
 
 
+def test_export_args_mode_roundtrip(live, tmp_path):
+    """weights_mode='args': weights ride the artifact ONCE (graphs take
+    them as inputs), every family round-trips at fp tolerance, and a
+    multi-batch-size artifact stops paying the weight bytes per graph."""
+    family, predictor, clips, ref = live
+    exported, path = _roundtrip(predictor, tmp_path, f"{family}_args",
+                                weights_mode="args")
+    assert exported.meta["weights_mode"] == "args"
+    np.testing.assert_allclose(exported.predict(clips), ref, atol=1e-5,
+                               err_msg=family)
+    # Multi-bucket size law: baked pays ~weights per graph, args ~once.
+    art_b = export_predictor(predictor, batch_sizes=(1, 2, 4, 8))
+    art_a = export_predictor(predictor, batch_sizes=(1, 2, 4, 8),
+                             weights_mode="args")
+    size_b = save_exported(art_b, tmp_path / "b4.lxa").stat().st_size
+    size_a = save_exported(art_a, tmp_path / "a4.lxa").stat().st_size
+    assert size_a < 0.55 * size_b, (family, size_a, size_b)
+    got = ExportedModel.load(tmp_path / "a4.lxa").predict(clips)
+    np.testing.assert_allclose(got, ref, atol=1e-5, err_msg=family)
+
+
 def test_exported_predictor_video_path(live, tmp_path):
     """ExportedPredictor (no model code, artifact bytes only) serves a real
     video for every family and matches the live predictor's class + probs."""
