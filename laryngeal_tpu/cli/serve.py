@@ -64,6 +64,12 @@ def build_parser(model_default=None) -> argparse.ArgumentParser:
     p.add_argument("--wire_quality", type=int, default=75)
     p.add_argument("--wire_keep_ac", type=int, default=31)
     p.add_argument("--wire_pack_from", type=int, default=14)
+    p.add_argument("--wire_lowres", type=int, default=0,
+                   help="non-rgb wires: decode the source at 1/2**n "
+                        "resolution (native mpeg4 lowres) and carry the "
+                        "reduced geometry through the wire - ~4x less "
+                        "decode transform work; lossy, drift pinned in "
+                        "BASELINE.md round-4 lowres study")
     p.add_argument("--compile_cache_dir", type=str, default=None,
                    help="Persistent XLA compilation cache (also via "
                         "LARYNGEAL_COMPILE_CACHE_DIR) — restarts of the "
@@ -109,6 +115,7 @@ def main(argv=None, model_default=None):
             wire_quality=args.wire_quality,
             wire_keep_ac=args.wire_keep_ac,
             wire_pack_from=args.wire_pack_from,
+            wire_lowres=args.wire_lowres,
         )
     # Compile the serving shape AND pay the relay's first-large-transfer
     # session warmup before accepting traffic (random bytes, not zeros —

@@ -37,19 +37,32 @@ class VideoPredictorBase:
     wire_quality: int = 75
     wire_keep_ac: int = 31
     wire_pack_from: int = 14
+    # Reduced-resolution decode for the non-rgb wires (native mpeg4
+    # `lowres`): the host decodes, wire-encodes and ships (crop >> n)
+    # geometry and the jitted preprocess resizes back to the model input —
+    # serving decode is the throughput wall on CPU-poor hosts and lowres1
+    # cuts it ~4x in transform work (drift pinned in BASELINE.md's round-4
+    # lowres study; same accounting as the dct wire's quantization).
+    wire_lowres: int = 0
+
+    def _wire_hw(self) -> int:
+        return self.crop_size >> (self.wire_lowres
+                                  if self.wire != "rgb" else 0)
 
     def extract_clip_with_indices(self, video_path):
         total_frames, *_ = get_video_properties(video_path)
         indices = self.sampler(str(video_path), total_frames)
-        hw = (self.crop_size, self.crop_size)
         if self.wire != "rgb":
             # Non-rgb wires ride I420 planes — decode natively as 4:2:0
-            # (the codec's own representation; no RGB roundtrip).
+            # (the codec's own representation; no RGB roundtrip), at the
+            # wire's (possibly lowres-reduced) geometry.
             from ..data.native import decode_frames_auto
 
-            clip = decode_frames_auto(video_path, indices, resize_to=hw,
-                                      fmt="i420")
+            w = self._wire_hw()
+            clip = decode_frames_auto(video_path, indices, resize_to=(w, w),
+                                      fmt="i420", lowres=self.wire_lowres)
         else:
+            hw = (self.crop_size, self.crop_size)
             clip = decode_frames(video_path, indices, resize_to=hw)
         return clip, indices, total_frames
 
@@ -127,6 +140,15 @@ class VideoPredictorBase:
         if self.wire != "rgb" and rgb_in:
             from ..data.video import rgb_to_yuv420
 
+            w = self._wire_hw()
+            if clips and clips[0].shape[1] != w:
+                # Lowres wire: bring RGB input to the wire geometry first
+                # (area downscale — the decode path's lowres loss analog).
+                import cv2
+
+                clips = [np.stack([cv2.resize(f, (w, w),
+                                              interpolation=cv2.INTER_AREA)
+                                   for f in c]) for c in clips]
             clips = [rgb_to_yuv420(np.ascontiguousarray(c)) for c in clips]
         probs = self._forward(self.state.params, self.state.batch_stats,
                               self._stack_payload(clips))

@@ -33,7 +33,7 @@ class Predictor(VideoPredictorBase):
                  num_frames: int = 32, sampling_method: str = "uniform",
                  crop_size: int = 224, logger=None, wire: str = "rgb",
                  wire_quality: int = 75, wire_keep_ac: int = 31,
-                 wire_pack_from: int = 14):
+                 wire_pack_from: int = 14, wire_lowres: int = 0):
         self.model = model
         self.spec = spec
         self.state = state
@@ -50,12 +50,18 @@ class Predictor(VideoPredictorBase):
         self.wire_quality = int(wire_quality)
         self.wire_keep_ac = int(wire_keep_ac)
         self.wire_pack_from = int(wire_pack_from)
+        # Reduced-geometry decode+wire (VideoPredictorBase.wire_lowres):
+        # the payload carries (crop >> n) pixels and batch_preprocess's
+        # resize-from-any-size semantics restore the model input. rgb wire
+        # ignores it (full-res decode straight to the model geometry).
+        self.wire_lowres = int(wire_lowres) if wire != "rgb" else 0
         self.sampler = FrameSampler(
             sampling_method, num_frames, per_video_seed=spec.per_video_seed
         )
         get_probs = probs_fn(spec.loss)
         regime = spec.preprocess_regime
-        wire_hw = (crop_size, crop_size)
+        whw = self._wire_hw()
+        wire_hw = (whw, whw)
 
         def forward(params, batch_stats, payload):
             pixel = decode_wire_batch(payload, wire, wire_hw,
@@ -80,7 +86,8 @@ class Predictor(VideoPredictorBase):
                         model_kwargs: Optional[Dict] = None,
                         wire: str = "rgb", wire_quality: int = 75,
                         wire_keep_ac: int = 31,
-                        wire_pack_from: int = 14) -> "Predictor":
+                        wire_pack_from: int = 14,
+                        wire_lowres: int = 0) -> "Predictor":
         spec = get_model_spec(model_name)
 
         # Checkpoint metadata may pin the exact architecture (written by
@@ -125,4 +132,5 @@ class Predictor(VideoPredictorBase):
         return cls(model, spec, restored["state"], class_labels,
                    num_frames, sampling_method, resolution, logger,
                    wire=wire, wire_quality=wire_quality,
-                   wire_keep_ac=wire_keep_ac, wire_pack_from=wire_pack_from)
+                   wire_keep_ac=wire_keep_ac, wire_pack_from=wire_pack_from,
+                   wire_lowres=wire_lowres)

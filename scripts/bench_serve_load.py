@@ -38,6 +38,11 @@ def main():
                     choices=["f32", "bf16"])
     ap.add_argument("--artifact", default=None,
                     help="reuse an existing .lxa instead of exporting")
+    ap.add_argument("--live", default=None, metavar="WIRE",
+                    help="serve a live checkpoint-backed Predictor on this "
+                        "wire instead of an artifact (e.g. 'dctp' or "
+                        "'dctp:l1' for lowres1) — serving is decode-bound, "
+                        "so the lowres dct wire is the throughput lever")
     ap.add_argument("--batch_timeout_ms", type=float, default=30.0)
     args = ap.parse_args()
 
@@ -53,7 +58,31 @@ def main():
     buckets = sorted(int(b) for b in args.buckets.split(","))
     paths = bench.ensure_videos()
 
-    if args.artifact:
+    if args.live:
+        import jax
+        import jax.numpy as jnp
+
+        from laryngeal_tpu.infer.predictor import Predictor
+        from laryngeal_tpu.models.registry import get_model_spec
+        from laryngeal_tpu.train.state import create_train_state
+
+        wire, _, lspec = args.live.partition(":")
+        lowres = int(lspec[1:]) if lspec.startswith("l") else 0
+        model = bench.build_model()[0]
+        spec = get_model_spec("vivit")
+        state = create_train_state(
+            model, jax.random.PRNGKey(0),
+            jnp.zeros((1, bench.NUM_FRAMES, bench.CROP, bench.CROP, 3),
+                      jnp.float32),
+            optimizer=spec.optimizer, learning_rate=1e-3, weight_decay=0.01)
+        predictor = Predictor(model, spec, state,
+                              num_frames=bench.NUM_FRAMES,
+                              crop_size=bench.CROP, wire=wire,
+                              wire_quality=75, wire_keep_ac=15,
+                              wire_pack_from=8, wire_lowres=lowres)
+        print(f"live predictor: wire={wire} lowres={lowres}", flush=True)
+        art_path = None
+    elif args.artifact:
         art_path = Path(args.artifact)
     else:
         from laryngeal_tpu.infer.predictor import Predictor
@@ -82,7 +111,8 @@ def main():
         print(f"artifact: {art_path} "
               f"({art_path.stat().st_size / 1e6:.1f} MB)", flush=True)
 
-    predictor = ExportedPredictor.load(art_path)
+    if art_path is not None:
+        predictor = ExportedPredictor.load(art_path)
     # Pay compile + relay session warmup per bucket before timing.
     rng = np.random.default_rng(0)
     for b in sorted(set(buckets), reverse=True):

@@ -22,7 +22,7 @@ def video_path(tmp_path_factory):
     return sorted(d.rglob("*.mp4"))[0]
 
 
-def _predictor(wire: str) -> Predictor:
+def _predictor(wire: str, lowres: int = 0) -> Predictor:
     import jax
     import jax.numpy as jnp
 
@@ -35,7 +35,8 @@ def _predictor(wire: str) -> Predictor:
         model, jax.random.PRNGKey(0), jnp.zeros((1, 4, 64, 64, 3)),
         optimizer="adamw", learning_rate=1e-3, weight_decay=0.01)
     return Predictor(model, get_model_spec("vivit"), state,
-                     num_frames=4, crop_size=64, wire=wire)
+                     num_frames=4, crop_size=64, wire=wire,
+                     wire_lowres=lowres)
 
 
 # Lossless-vs-source wires must track the rgb path to decode/convert
@@ -52,6 +53,34 @@ def test_predict_video_matches_rgb_wire(video_path, wire):
     p_ref = np.array([ref["probabilities"][c] for c in sorted(ref["probabilities"])])
     p_got = np.array([got["probabilities"][c] for c in sorted(got["probabilities"])])
     np.testing.assert_allclose(p_got, p_ref, atol=TOL[wire])
+
+
+def test_lowres_wire_predicts_within_pinned_drift(video_path):
+    """wire_lowres=1: the payload rides (crop>>1) geometry (native lowres
+    decode when the loader supports it, cv2 downscale fallback otherwise)
+    and the jitted preprocess resizes back — schema wire-invariant,
+    probabilities within the lowres loss envelope of the rgb wire."""
+    ref = _predictor("rgb").predict_video(video_path)
+    got = _predictor("dctp", lowres=1).predict_video(video_path)
+    assert set(got) == set(ref)
+    assert got["frame_indices"] == ref["frame_indices"]
+    p_ref = np.array([ref["probabilities"][c]
+                      for c in sorted(ref["probabilities"])])
+    p_got = np.array([got["probabilities"][c]
+                      for c in sorted(got["probabilities"])])
+    # 64->32px halving on a random-init tiny model is the worst case for
+    # this loss; at the real 224 geometry the drift is pinned at 0.0109
+    # (BASELINE.md round-4 lowres study).
+    np.testing.assert_allclose(p_got, p_ref, atol=0.15)
+
+    # RGB input on the lowres wire downscales host-side to wire geometry.
+    pred = _predictor("dctp", lowres=1)
+    rng = np.random.default_rng(3)
+    clip = rng.integers(0, 256, (4, 64, 64, 3), dtype=np.uint8)
+    probs = pred.predict_clip(clip)
+    assert probs.shape == (1, 2)
+    np.testing.assert_allclose(np.asarray(probs).sum(axis=-1), 1.0,
+                               atol=1e-3)
 
 
 def test_predict_clip_accepts_rgb_input_on_dctp_wire():
