@@ -169,6 +169,12 @@ def build_parser(model_default: str = None) -> argparse.ArgumentParser:
     p.add_argument("--wire_pack_from", type=int, default=8,
                    help="dctp wire: first zigzag AC plane to nibble-pack "
                         "(planes >= this are clamped to [-8,7])")
+    p.add_argument("--wire_lowres", type=int, default=0,
+                   help="non-rgb wires: decode the source at 1/2**n "
+                        "resolution (native mpeg4 lowres) and carry the "
+                        "reduced geometry through the wire - ~4x less "
+                        "decode transform work and wire bytes; lossy, "
+                        "drift + learning A/B pinned in BASELINE.md")
     p.add_argument("--no_cache_clips", action="store_true")
     p.add_argument("--clip_cache_mb", type=int, default=2048,
                    help="RAM budget (MiB) for the decoded-clip LRU cache")
@@ -289,6 +295,7 @@ def run(args) -> dict:
         verify_integrity=args.verify_integrity,
         num_workers=args.decode_workers,
         wire=args.wire,
+        wire_lowres=args.wire_lowres,
         wire_quality=args.wire_quality,
         wire_keep_ac=args.wire_keep_ac,
         wire_pack_from=args.wire_pack_from,

@@ -180,6 +180,7 @@ class VideoDataset:
         wire_quality: int = 75,
         wire_keep_ac: int = 31,
         wire_pack_from: int = 14,
+        wire_lowres: int = 0,
     ):
         self.root_dir = Path(root_dir)
         self.mode = mode
@@ -192,6 +193,13 @@ class VideoDataset:
         # pass) and the clip caches hold the smaller encoded payloads.
         if wire not in ("rgb", "i420", "delta", "dct", "dctp"):
             raise ValueError(f"Unknown wire format {wire!r}")
+        # wire_lowres=n (non-rgb wires): decode the source at 1/2**n
+        # resolution (native mpeg4 `lowres` — the decoder's own partial
+        # iDCT) and carry the reduced geometry through the wire; the jitted
+        # step's preprocess resizes back to the crop. ~4x less decode
+        # transform work + 4x fewer wire bytes; lossy, drift + a learning
+        # A/B pinned in BASELINE.md's round-4 lowres study.
+        self.wire_lowres = int(wire_lowres) if wire != "rgb" else 0
         if wire != "rgb":
             # Native-size decode (resize_to=None) would make the payload
             # geometry video-dependent while the jitted step's wire_hw is
@@ -201,10 +209,14 @@ class VideoDataset:
                 raise ValueError(
                     f"wire={wire!r} requires an explicit resize_to (the wire "
                     f"payload geometry must be static); got resize_to=None")
-            if resize_to[0] % 16 or resize_to[1] % 16:
+            ww, wh = (resize_to[0] >> self.wire_lowres,
+                      resize_to[1] >> self.wire_lowres)
+            if ww % 16 or wh % 16:
                 raise ValueError(
-                    f"wire={wire!r} needs resize_to multiples of 16, "
-                    f"got {resize_to}")
+                    f"wire={wire!r} needs (resize_to >> wire_lowres) "
+                    f"multiples of 16, got {resize_to} >> {self.wire_lowres}"
+                    f" = {(ww, wh)}")
+            self.wire_wh = (ww, wh)  # (w, h) — the payload geometry
         self.wire = wire
         self.wire_quality = int(wire_quality)
         self.wire_keep_ac = int(wire_keep_ac)
@@ -294,10 +306,11 @@ class VideoDataset:
     def _placeholder_clip(self):
         """Gray placeholder in the configured wire format (robustness
         contract, vivit dataset.py:370-381)."""
-        hw = self.resize_to or (224, 224)
-        rgb = np.full((self.num_frames, hw[1], hw[0], 3), 127, np.uint8)
         if self.wire == "rgb":
-            return rgb
+            hw = self.resize_to or (224, 224)
+            return np.full((self.num_frames, hw[1], hw[0], 3), 127, np.uint8)
+        ww, wh = self.wire_wh
+        rgb = np.full((self.num_frames, wh, ww, 3), 127, np.uint8)
         return self._encode_wire(self._rgb_to_i420(rgb))
 
     @staticmethod
@@ -342,7 +355,8 @@ class VideoDataset:
         if clip is None:
             # The dct/dctp payloads are array tuples — np.save-backed disk
             # caching covers the dense-array wires only.
-            disk_key = (path, tuple(indices), self.resize_to, self.wire)
+            disk_key = (path, tuple(indices), self.resize_to, self.wire,
+                        self.wire_lowres)
             use_disk = (self._disk_cache is not None
                         and self.wire not in ("dct", "dctp"))
             if use_disk:
@@ -351,10 +365,14 @@ class VideoDataset:
                 try:
                     from .native import decode_frames_auto
 
-                    clip = decode_frames_auto(
-                        path, indices, resize_to=self.resize_to,
-                        fmt="rgb" if self.wire == "rgb" else "i420")
-                    if self.wire != "rgb":
+                    if self.wire == "rgb":
+                        clip = decode_frames_auto(
+                            path, indices, resize_to=self.resize_to,
+                            fmt="rgb")
+                    else:
+                        clip = decode_frames_auto(
+                            path, indices, resize_to=self.wire_wh,
+                            fmt="i420", lowres=self.wire_lowres)
                         clip = self._encode_wire(clip)
                 except Exception as e:
                     logger.warning("Decode failed for %s: %s — placeholder clip",

@@ -171,6 +171,7 @@ def create_dataloaders(
     wire_quality: int = 75,
     wire_keep_ac: int = 31,
     wire_pack_from: int = 14,
+    wire_lowres: int = 0,
 ) -> Dict[str, ClipLoader]:
     """Train/val/test loaders — the reference ``create_dataloaders`` surface
     (vivit_transformer/.../dataloader.py:52-135) for all five pipelines.
@@ -198,6 +199,7 @@ def create_dataloaders(
             wire_quality=wire_quality,
             wire_keep_ac=wire_keep_ac,
             wire_pack_from=wire_pack_from,
+            wire_lowres=wire_lowres,
         )
         loaders[split] = ClipLoader(
             ds,

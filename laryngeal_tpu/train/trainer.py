@@ -119,8 +119,11 @@ class Trainer:
         wire = getattr(train_ds, "wire", "rgb")
         wire_hw = None
         if wire in ("dct", "dctp"):
-            rt = train_ds.resize_to or (224, 224)
-            wire_hw = (rt[1], rt[0])  # resize_to is (w, h); decode wants (h, w)
+            # The dataset's wire_wh is the (possibly lowres-reduced) payload
+            # geometry; decode wants (h, w).
+            ww, wh = getattr(train_ds, "wire_wh",
+                             train_ds.resize_to or (224, 224))
+            wire_hw = (wh, ww)
         wire_kw = dict(wire=wire, wire_hw=wire_hw,
                        wire_quality=getattr(train_ds, "wire_quality", 75),
                        wire_keep_ac=getattr(train_ds, "wire_keep_ac", 31))

@@ -34,6 +34,10 @@ ARMS = {
                         wire_pack_from=14),
     "dctp_k15p8": dict(wire="dctp", wire_quality=75, wire_keep_ac=15,
                        wire_pack_from=8),
+    # The round-4 lowres lever applied to TRAINING: decode at 1/2
+    # resolution, wire carries the reduced geometry, preprocess resizes up.
+    "dctp_k15p8_l1": dict(wire="dctp", wire_quality=75, wire_keep_ac=15,
+                          wire_pack_from=8, wire_lowres=1),
 }
 
 
@@ -101,18 +105,24 @@ def main():
         out[name] = run_arm(data, work / name, args.epochs, kw)
         print(json.dumps(out[name]), flush=True)
 
-    # Verdict line: does k15p8 track the near-lossless wire?
-    a, b = out["dctp_k31p14"], out["dctp_k15p8"]
-    same_best = (a["best_epoch_min_val_loss"] == b["best_epoch_min_val_loss"])
-    d_final = abs(a["val_loss"][-1] - b["val_loss"][-1])
-    d_auroc = abs(a["test"].get("auroc", 0) - b["test"].get("auroc", 0))
-    print(json.dumps({
-        "same_best_epoch": same_best,
-        "final_val_loss_delta_k15_vs_k31": round(d_final, 5),
-        "test_auroc_delta_k15_vs_k31": round(d_auroc, 5),
-        "max_epoch_val_loss_delta": round(max(
-            abs(x - y) for x, y in zip(a["val_loss"], b["val_loss"])), 5),
-    }))
+    # Verdict lines: does each lossy arm track the near-lossless wire?
+    a = out["dctp_k31p14"]
+    for name in ("dctp_k15p8", "dctp_k15p8_l1"):
+        if name not in out:
+            continue
+        b = out[name]
+        print(json.dumps({
+            "arm": name,
+            "same_best_epoch": (a["best_epoch_min_val_loss"]
+                                == b["best_epoch_min_val_loss"]),
+            "final_val_loss_delta_vs_k31": round(
+                abs(a["val_loss"][-1] - b["val_loss"][-1]), 5),
+            "test_auroc_delta_vs_k31": round(
+                abs(a["test"].get("auroc", 0) - b["test"].get("auroc", 0)),
+                5),
+            "max_epoch_val_loss_delta": round(max(
+                abs(x - y) for x, y in zip(a["val_loss"], b["val_loss"])), 5),
+        }))
 
 
 if __name__ == "__main__":

@@ -31,6 +31,9 @@ N_CLIPS = 24
 
 
 def build_state_and_steps(wire: str):
+    """`wire` is a bench-style spec: plain name or e.g. dctp@q75k15p8l1
+    (bench.wire_params / bench.wire_lowres parse it; the l<n> suffix rides
+    the wire at CROP>>n geometry — the round-4 lowres lever on training)."""
     import jax
     import jax.numpy as jnp
 
@@ -39,6 +42,8 @@ def build_state_and_steps(wire: str):
     from laryngeal_tpu.train.steps import make_train_step
     import bench
 
+    kind, _, _, _ = bench.wire_params(wire)
+    hw = CROP >> bench.wire_lowres(wire)
     spec = get_model_spec("vivit")
     model, _ = bench.build_model()
     state = create_train_state(
@@ -46,24 +51,27 @@ def build_state_and_steps(wire: str):
         jnp.zeros((1, NUM_FRAMES, CROP, CROP, 3), jnp.float32),
         optimizer=spec.optimizer, learning_rate=1e-3, weight_decay=0.01)
     step = make_train_step(
-        model, spec.preprocess_regime, spec.loss, crop=CROP, wire=wire,
-        wire_hw=(CROP, CROP) if wire in ("dct", "dctp") else None)
+        model, spec.preprocess_regime, spec.loss, crop=CROP, wire=kind,
+        wire_hw=(hw, hw) if kind in ("dct", "dctp") else None)
     return state, step
 
 
 def encode(clip_i420: np.ndarray, wire: str):
-    if wire == "rgb":
+    import bench
+
+    kind, q, keep, pack = bench.wire_params(wire)
+    if kind == "rgb":
         raise AssertionError("rgb arm decodes rgb directly")
-    if wire == "i420":
+    if kind == "i420":
         return clip_i420
-    if wire == "dctp":
+    if kind == "dctp":
         from laryngeal_tpu.preprocess.dct_wire import encode_clip_packed
 
-        return encode_clip_packed(clip_i420, 75, 31, 14)
-    if wire == "dct":
+        return encode_clip_packed(clip_i420, q, keep, pack)
+    if kind == "dct":
         from laryngeal_tpu.preprocess.dct_wire import encode_clip
 
-        return encode_clip(clip_i420, 75, 31)
+        return encode_clip(clip_i420, q, keep)
     raise ValueError(wire)
 
 
@@ -78,17 +86,23 @@ def run_pass(paths, state, step, wire: str, seed: int):
     q_dec: "queue.Queue" = queue.Queue(maxsize=3)
     q_dev: "queue.Queue" = queue.Queue(maxsize=3)
 
+    import bench
+
+    kind = bench.wire_params(wire)[0]
+    lr = bench.wire_lowres(wire)
+    hw = CROP >> lr
+
     def decoder():
         batch = []
         try:
             for p in paths:
-                if wire == "rgb":
+                if kind == "rgb":
                     clip = decode_frames_auto(p, sampler(str(p), 96),
                                               resize_to=(CROP, CROP))
                 else:
                     clip = encode(decode_frames_auto(
-                        p, sampler(str(p), 96), resize_to=(CROP, CROP),
-                        fmt="i420"), wire)
+                        p, sampler(str(p), 96), resize_to=(hw, hw),
+                        fmt="i420", lowres=lr), wire)
                 batch.append(clip)
                 if len(batch) == BATCH:
                     if isinstance(batch[0], tuple):

@@ -47,7 +47,9 @@ def main():
     for family in ("vivit", "timesformer", "swin3d", "resnet3d",
                    "resnet50_lstm"):
         spec = get_model_spec(family)
-        model = create_model(family, num_frames=T)
+        kw = ({"num_frames": T} if family in ("vivit", "timesformer")
+              else {})  # the CNN/swin families are frame-count agnostic
+        model = create_model(family, **kw)
         state = create_train_state(
             model, jax.random.PRNGKey(0),
             jnp.zeros((1, T, HW, HW, 3), jnp.float32),

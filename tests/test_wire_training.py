@@ -220,6 +220,61 @@ def test_wire_requires_16_multiple():
     with pytest.raises(ValueError):
         VideoDataset("/nonexistent", mode="train", resize_to=(60, 60),
                      wire="dct", video_paths=["x.mp4"])
+    # Lowres shifts the constraint to the REDUCED geometry.
+    with pytest.raises(ValueError):
+        VideoDataset("/nonexistent", mode="train", resize_to=(16, 16),
+                     wire="dct", wire_lowres=1, video_paths=["x.mp4"])
+
+
+def test_lowres_wire_training_feed(synth_dir):
+    """wire_lowres=1: the dataset ships (resize>>1)-geometry payloads, the
+    trainer's wire_hw follows, a train+eval step runs, and the loss lands
+    within the lowres loss envelope of the full-res wire."""
+    import jax
+    import jax.numpy as jnp
+
+    from laryngeal_tpu.models.vivit import (VivitConfig,
+                                            VivitForVideoClassification)
+    from laryngeal_tpu.train.state import create_train_state
+    from laryngeal_tpu.train.steps import make_eval_step, make_train_step
+
+    loaders = _loaders(synth_dir, "dctp", wire_lowres=1)
+    ds = loaders["train"].dataset
+    assert ds.wire_wh == (32, 32)
+    item = ds[0]
+    dc = item["pixel_values"][0]
+    # 32x32 i420 -> (32*32 + 2*16*16) / 64 = 24 blocks/frame.
+    assert dc.shape == (4, 24), dc.shape
+
+    model = VivitForVideoClassification(VivitConfig(
+        hidden_size=32, num_layers=1, num_heads=2, intermediate_size=64,
+        image_size=64, num_frames=4, num_classes=2,
+        tubelet_size=(2, 16, 16)))
+
+    from laryngeal_tpu.train.steps import prepare_batch
+
+    losses = {}
+    for lowres in (0, 1):
+        # Fresh state per arm: the jitted train step donates the state
+        # buffers, and PRNGKey(0) makes the two inits identical anyway.
+        state = create_train_state(
+            model, jax.random.PRNGKey(0), jnp.zeros((1, 4, 64, 64, 3)),
+            optimizer="adamw", learning_rate=1e-3, weight_decay=0.01)
+        lo = _loaders(synth_dir, "dctp", wire_lowres=lowres)
+        dtr = lo["train"].dataset
+        ww, wh = dtr.wire_wh
+        step = make_train_step(model, "vivit", "ce", crop=64, wire="dctp",
+                               wire_hw=(wh, ww))
+        estep = make_eval_step(model, "vivit", "ce", crop=64, wire="dctp",
+                               wire_hw=(wh, ww))
+        pixel, labels, mask = prepare_batch(next(iter(lo["train"])))
+        em = estep(state, pixel, labels, mask)
+        losses[lowres] = float(em["loss"])
+        _, m = step(state, pixel, labels, mask, jax.random.PRNGKey(1))
+        assert np.isfinite(float(m["loss"]))
+    # Same clips through the same random-init model: the lowres loss must
+    # track the full-res wire (quantization+resolution loss only).
+    assert abs(losses[1] - losses[0]) < 0.15, losses
 
 
 def test_rgb_clip_for_visualization(synth_dir):
