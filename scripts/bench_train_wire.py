@@ -42,7 +42,7 @@ def build_state_and_steps(wire: str):
     from laryngeal_tpu.train.steps import make_train_step
     import bench
 
-    kind, _, _, _ = bench.wire_params(wire)
+    kind, q, keep, _ = bench.wire_params(wire)
     hw = CROP >> bench.wire_lowres(wire)
     spec = get_model_spec("vivit")
     model, _ = bench.build_model()
@@ -52,7 +52,8 @@ def build_state_and_steps(wire: str):
         optimizer=spec.optimizer, learning_rate=1e-3, weight_decay=0.01)
     step = make_train_step(
         model, spec.preprocess_regime, spec.loss, crop=CROP, wire=kind,
-        wire_hw=(hw, hw) if kind in ("dct", "dctp") else None)
+        wire_hw=(hw, hw) if kind in ("dct", "dctp") else None,
+        wire_quality=q, wire_keep_ac=keep)
     return state, step
 
 
