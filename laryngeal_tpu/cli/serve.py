@@ -80,6 +80,19 @@ def build_parser(model_default=None) -> argparse.ArgumentParser:
 def main(argv=None, model_default=None):
     args = build_parser(model_default).parse_args(argv)
 
+    # Validate bucket sizes FIRST: each bucket costs a full-size remote
+    # compile in the warmup loop (minutes through the relay), and
+    # DynamicBatcher would reject bad sizes only after all are paid.
+    buckets = ([int(b) for b in args.batch_buckets.split(",")]
+               if args.batch_buckets else [args.max_batch])
+    bad = [b for b in buckets if b < 1 or b > args.max_batch]
+    if bad:
+        raise SystemExit(
+            f"--batch_buckets entries {bad} outside [1, --max_batch="
+            f"{args.max_batch}]; raise --max_batch or drop the bucket")
+    if max(buckets) < args.max_batch:
+        buckets.append(args.max_batch)
+
     from ..serve.server import InferenceServer
     from ..utils.compile_cache import enable as enable_compile_cache
     from ..utils.logger import ExperimentLogger
@@ -123,10 +136,6 @@ def main(argv=None, model_default=None):
     # the first real request would eat it; CLAUDE.md relay rules).
     import numpy as np
 
-    buckets = ([int(b) for b in args.batch_buckets.split(",")]
-               if args.batch_buckets else [args.max_batch])
-    if max(buckets) < args.max_batch:
-        buckets.append(args.max_batch)
     rng = np.random.default_rng(0)
     for b in sorted(set(buckets), reverse=True):  # largest pays relay warmup
         warm = rng.integers(

@@ -31,13 +31,17 @@ def _load():
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not LIB_PATH.exists() and (NATIVE_DIR / "Makefile").exists():
+    if (NATIVE_DIR / "Makefile").exists():
+        # Always run make (incremental — a fresh .so is a no-op): a stale
+        # build from an older checkout silently lacks newer entry points
+        # (the ABI probe below catches the lowres case, but rebuilding is
+        # the fix, not just the detection).
         try:
             subprocess.run(["make", "-C", str(NATIVE_DIR)], check=True,
                            capture_output=True, timeout=120)
         except Exception as e:  # no toolchain / headers
-            logger.info("native cliploader build failed: %s", e)
-            return None
+            logger.info("native cliploader build failed: %s "
+                        "(using the existing .so if present)", e)
     if not LIB_PATH.exists():
         return None
     try:
@@ -57,6 +61,9 @@ def _load():
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int),
     ]
     lib.clip_decode.restype = ctypes.c_int
+    if hasattr(lib, "cliploader_abi"):  # feature-level probe (>= round 4)
+        lib.cliploader_abi.argtypes = []
+        lib.cliploader_abi.restype = ctypes.c_int
     if hasattr(lib, "clip_decode_ex"):  # older .so builds lack it
         lib.clip_decode_ex.argtypes = [
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_int), ctypes.c_int,
@@ -97,6 +104,12 @@ def _load():
 
 def available() -> bool:
     return _load() is not None
+
+
+def _abi(lib) -> int:
+    """Feature level of the loaded .so (see cliploader.cpp::cliploader_abi);
+    builds predating the probe are level 1 at most."""
+    return int(lib.cliploader_abi()) if hasattr(lib, "cliploader_abi") else 1
 
 
 def get_video_properties(path) -> Tuple[int, float, float, int, int]:
@@ -146,8 +159,11 @@ def decode_frames(
     lowres = int(lowres)
     if not 0 <= lowres <= 3:
         raise ValueError(f"lowres must be in [0,3], got {lowres}")
-    if lowres and not hasattr(lib, "clip_decode_ex"):
-        raise RuntimeError("loaded .so predates lowres support")
+    if lowres and _abi(lib) < 2:
+        # A level-1 .so exports clip_decode_ex but ignores the lowres bits
+        # (full-res decode + downscale) — refuse rather than silently
+        # return pixels that don't match the lowres drift accounting.
+        raise RuntimeError("loaded .so predates lowres support (abi < 2)")
     idx = sorted(int(i) for i in indices)
     if not idx:
         raise ValueError("decode_frames requires at least one index")
@@ -304,21 +320,14 @@ def decode_frames_auto(path, indices, resize_to=None, fmt: str = "rgb",
     from . import video as _video
 
     if lowres and resize_to is None:
+        # video.get_video_properties raises a clear error on unopenable
+        # files (vs cv2's silent 0x0, which would surface later as a
+        # confusing zero-size resize).
         _, _, _, w, h = (get_video_properties(path) if available()
-                         else (None, None, None) + _cv2_dims(path))
+                         else _video.get_video_properties(path))
         resize_to = (w >> lowres, h >> lowres)
     rgb = _video.decode_frames(path, indices, resize_to=resize_to)
     if fmt == "i420":
         return _video.rgb_to_yuv420(rgb)
     return rgb
 
-
-def _cv2_dims(path):
-    import cv2
-
-    cap = cv2.VideoCapture(str(path))
-    try:
-        return (int(cap.get(cv2.CAP_PROP_FRAME_WIDTH)),
-                int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT)))
-    finally:
-        cap.release()

@@ -213,11 +213,13 @@ class ExportedModel:
         self._by_batch = dict(sorted(exported_by_batch.items()))
         if weights is not None:
             # args-mode artifact: graphs take (weight list, pixels); stage
-            # the weights on device once and partially apply.
+            # the weights on device ONCE and pass them as runtime arguments.
+            # (Closing the jit over w_dev would trace them as constants and
+            # re-embed a weight copy in every bucket's executable — exactly
+            # the per-graph duplication args mode exists to avoid.)
             w_dev = [jnp.asarray(a) for a in weights]
             self._calls = {
-                b: (lambda e: jax.jit(
-                    lambda chunk, _e=e: _e.call(w_dev, chunk)))(e)
+                b: (lambda jf: lambda chunk: jf(w_dev, chunk))(jax.jit(e.call))
                 for b, e in self._by_batch.items()}
         else:
             self._calls = {b: jax.jit(e.call)

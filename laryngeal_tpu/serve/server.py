@@ -169,7 +169,10 @@ class InferenceServer:
         # overlaps with the decodes in flight.
         import os as _os
 
-        n_dec = decode_threads if decode_threads else (_os.cpu_count() or 1)
+        # None = auto (cpu count); an explicit 0 clamps to the most
+        # restrictive gate (1), not to auto.
+        n_dec = (decode_threads if decode_threads is not None
+                 else (_os.cpu_count() or 1))
         self._decode_gate = threading.BoundedSemaphore(max(1, int(n_dec)))
         # Abuse-surface controls (dev server, loopback by default):
         # Content-Length is attacker-controlled — cap uploads; and when a

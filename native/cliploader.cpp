@@ -295,6 +295,13 @@ int ac_pack_nibble(const int8_t* ac, int nplanes, long long elems,
 
 extern "C" {
 
+// ABI feature level of this build. 1 = clip_decode_ex carries only the
+// fast-decode flag in bit 0; 2 = flags bits 1-2 additionally carry the
+// lowres level. Callers must gate lowres on abi >= 2: a level-1 .so
+// accepts the same call but ignores the bits and decodes at full
+// resolution — a silent wrong-measurement, not an error.
+int cliploader_abi(void) { return 2; }
+
 int video_props(const char* path, int* total_frames, double* fps, int* width,
                 int* height) {
   Reader r;
