@@ -41,7 +41,7 @@ ARMS = {
 }
 
 
-def run_arm(data_dir, workdir, epochs, arm_kw):
+def run_arm(data_dir, workdir, epochs, arm_kw, full_size=False):
     import jax
 
     from laryngeal_tpu.data.pipeline import create_dataloaders
@@ -50,15 +50,28 @@ def run_arm(data_dir, workdir, epochs, arm_kw):
                                             VivitForVideoClassification)
     from laryngeal_tpu.train.trainer import Trainer
 
-    loaders = create_dataloaders(
-        str(data_dir), num_frames=8, batch_size=4, resize_to=(64, 64),
-        pad_last=True, seed=0, **arm_kw)
-    cfg = VivitConfig(hidden_size=48, num_layers=3, num_heads=2,
-                      intermediate_size=96, image_size=64, num_frames=8)
+    if full_size:
+        # --full_size: the real operating point (ViViT-B, 32f, 224^2, bf16,
+        # B8) on the chip — closes the caveat that the learning A/B ran
+        # only at 64^2 geometry.
+        loaders = create_dataloaders(
+            str(data_dir), num_frames=32, batch_size=8,
+            resize_to=(224, 224), pad_last=True, seed=0, **arm_kw)
+        import jax.numpy as jnp
+
+        cfg = VivitConfig(num_frames=32, dtype=jnp.bfloat16)
+        config = {"epochs": epochs, "learning_rate": 1e-3, "crop_size": 224,
+                  "seed": 0, "use_early_stopping": False}
+    else:
+        loaders = create_dataloaders(
+            str(data_dir), num_frames=8, batch_size=4, resize_to=(64, 64),
+            pad_last=True, seed=0, **arm_kw)
+        cfg = VivitConfig(hidden_size=48, num_layers=3, num_heads=2,
+                          intermediate_size=96, image_size=64, num_frames=8)
+        config = {"epochs": epochs, "learning_rate": 1e-3, "crop_size": 64,
+                  "seed": 0, "use_early_stopping": False}
     model = VivitForVideoClassification(cfg)
     spec = get_model_spec("vivit")
-    config = {"epochs": epochs, "learning_rate": 1e-3, "crop_size": 64,
-              "seed": 0, "use_early_stopping": False}
     trainer = Trainer(model, spec, loaders, config, exp_dir=workdir)
     trainer.train()
 
@@ -84,28 +97,56 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=10)
     ap.add_argument("--workdir", default="/tmp/ab_train_wire")
+    ap.add_argument("--full_size", action="store_true",
+                    help="ViViT-B 32f 224^2 bf16 B8 ON THE CHIP (2 dctp "
+                         "arms only; ~10 min/arm of remote compile on a "
+                         "cold cache) instead of the tiny-CPU model")
+    ap.add_argument("--arms", type=str, default=None,
+                    help="comma-separated subset of the arm names")
     args = ap.parse_args()
 
     import jax
 
-    jax.config.update("jax_platforms", "cpu")
+    if not args.full_size:
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        from laryngeal_tpu.utils.compile_cache import enable as _cc
+
+        _cc("/tmp/laryngeal_cc")  # env LARYNGEAL_COMPILE_CACHE_DIR overrides
 
     from laryngeal_tpu.data.synthetic import make_synthetic_dataset
 
     work = Path(args.workdir)
     data = work / "data"
     if not data.exists():
-        make_synthetic_dataset(str(data), {"train": 12, "val": 4, "test": 8},
-                               num_frames=12, h=64, w=64, seed=21,
-                               varied_lengths=False)
+        if args.full_size:
+            # Round-3 full-size recipe: 32 videos, learnable lesion signal.
+            make_synthetic_dataset(str(data),
+                                   {"train": 8, "val": 4, "test": 4},
+                                   num_frames=96, h=224, w=224, seed=11,
+                                   varied_lengths=True)
+        else:
+            make_synthetic_dataset(str(data),
+                                   {"train": 12, "val": 4, "test": 8},
+                                   num_frames=12, h=64, w=64, seed=21,
+                                   varied_lengths=False)
+
+    arms = dict(ARMS)
+    if args.full_size and args.arms is None:
+        arms = {k: ARMS[k] for k in ("dctp_k31p14", "dctp_k15p8")}
+    elif args.arms:
+        arms = {k: ARMS[k] for k in args.arms.split(",")}
 
     out = {}
-    for name, kw in ARMS.items():
+    for name, kw in arms.items():
         print(f"=== arm {name} ===", flush=True)
-        out[name] = run_arm(data, work / name, args.epochs, kw)
+        out[name] = run_arm(data, work / name, args.epochs, kw,
+                            full_size=args.full_size)
         print(json.dumps(out[name]), flush=True)
 
     # Verdict lines: does each lossy arm track the near-lossless wire?
+    if "dctp_k31p14" not in out:
+        return
     a = out["dctp_k31p14"]
     for name in ("dctp_k15p8", "dctp_k15p8_l1"):
         if name not in out:
