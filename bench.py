@@ -107,9 +107,10 @@ def wire_params(wire: str):
     if "@" not in wire:
         return wire, DCT_QUALITY, DCT_KEEP, DCT_PACK_FROM
     kind, spec = wire.split("@", 1)
-    m = re.fullmatch(r"q(\d+)k(\d+)(?:p(\d+))?(?:l(\d))?", spec)
+    m = re.fullmatch(r"q(\d+)k(\d+)(?:p(\d+))?(?:l([0-3]))?", spec)
     if kind not in ("dct", "dctp") or m is None:
-        raise ValueError(f"bad wire spec {wire!r} (want e.g. dctp@q75k23p8)")
+        raise ValueError(f"bad wire spec {wire!r} (want e.g. dctp@q75k23p8, "
+                         f"optional lowres suffix l0-l3)")
     return (kind, int(m.group(1)), int(m.group(2)),
             int(m.group(3)) if m.group(3) else DCT_PACK_FROM)
 
@@ -128,7 +129,8 @@ def wire_lowres(wire: str) -> int:
     full-resolution unless BENCH_LOWRES is set explicitly."""
     wire = wire or WIRE
     if "@" in wire:
-        m = re.fullmatch(r"q\d+k\d+(?:p\d+)?(?:l(\d))?", wire.split("@", 1)[1])
+        m = re.fullmatch(r"q\d+k\d+(?:p\d+)?(?:l([0-3]))?",
+                         wire.split("@", 1)[1])
         if m and m.group(1):
             return int(m.group(1))
     kind = wire.split("@", 1)[0]

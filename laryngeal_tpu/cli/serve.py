@@ -83,8 +83,15 @@ def main(argv=None, model_default=None):
     # Validate bucket sizes FIRST: each bucket costs a full-size remote
     # compile in the warmup loop (minutes through the relay), and
     # DynamicBatcher would reject bad sizes only after all are paid.
-    buckets = ([int(b) for b in args.batch_buckets.split(",")]
-               if args.batch_buckets else [args.max_batch])
+    if args.batch_buckets:
+        try:
+            buckets = [int(b) for b in args.batch_buckets.split(",")]
+        except ValueError:
+            raise SystemExit(
+                f"--batch_buckets must be comma-separated integers "
+                f"(e.g. '1,4,8'); got {args.batch_buckets!r}")
+    else:
+        buckets = [args.max_batch]
     bad = [b for b in buckets if b < 1 or b > args.max_batch]
     if bad:
         raise SystemExit(

@@ -26,20 +26,38 @@ _lib = None
 _tried = False
 
 
+def _needs_build() -> bool:
+    if not LIB_PATH.exists():
+        return True
+    so_mtime = LIB_PATH.stat().st_mtime
+    return any(src.stat().st_mtime > so_mtime
+               for pat in ("*.cpp", "*.h", "Makefile")
+               for src in NATIVE_DIR.glob(pat))
+
+
 def _load():
     global _lib, _tried
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if (NATIVE_DIR / "Makefile").exists():
-        # Always run make (incremental — a fresh .so is a no-op): a stale
+    if (NATIVE_DIR / "Makefile").exists() and _needs_build():
+        # Rebuild when the .so is missing or older than its sources: a stale
         # build from an older checkout silently lacks newer entry points
         # (the ABI probe below catches the lowres case, but rebuilding is
-        # the fix, not just the detection).
+        # the fix, not just the detection). The mtime check keeps steady
+        # state subprocess-free, and the flock serializes concurrent
+        # first-loads (two processes racing make would link the same .so
+        # non-atomically while the other dlopens a half-written file).
         try:
-            subprocess.run(["make", "-C", str(NATIVE_DIR)], check=True,
-                           capture_output=True, timeout=120)
-        except Exception as e:  # no toolchain / headers
+            import fcntl
+
+            with open(NATIVE_DIR / ".build.lock", "w") as lk:
+                fcntl.flock(lk, fcntl.LOCK_EX)
+                if _needs_build():  # the lock winner may have built it
+                    subprocess.run(["make", "-C", str(NATIVE_DIR)],
+                                   check=True, capture_output=True,
+                                   timeout=120)
+        except Exception as e:  # no toolchain / headers / unwritable dir
             logger.info("native cliploader build failed: %s "
                         "(using the existing .so if present)", e)
     if not LIB_PATH.exists():

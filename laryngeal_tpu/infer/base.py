@@ -238,14 +238,21 @@ class VideoPredictorBase:
         if not plans:
             return []
 
-        hw = (self.crop_size, self.crop_size)
+        # Batch mode decodes at the WIRE geometry, like the single-video
+        # path: on a lowres wire the jitted forward was compiled for the
+        # reduced (crop >> lowres) payload, so decoding at full crop here
+        # would change the payload shape and kill the one-jit-shape contract.
+        w = self._wire_hw()
+        hw = (w, w)
+        lowres = self.wire_lowres if self.wire != "rgb" else 0
 
         fmt = "rgb" if self.wire == "rgb" else "i420"
 
         def decode(plan):
             path, idx, total = plan
             try:
-                return decode_frames_auto(path, idx, resize_to=hw, fmt=fmt)
+                return decode_frames_auto(path, idx, resize_to=hw, fmt=fmt,
+                                          lowres=lowres)
             except Exception as e:
                 self.logger.warning("Decode failed for %s: %s — skipped", path, e)
                 return None

@@ -60,9 +60,14 @@ class TimesformerConfig:
     # spatial block runs batched einsum attention with the cls row fused as
     # an extra score column, so NO transpose is ever materialized.
     # Identical parameter tree (checkpoints interchange); numerics pinned
-    # vs "flat" in tests/test_models.py. Single-chip/dp only — sp's token
-    # constraints assume the flat sequence.
+    # vs "flat" in tests/test_timesformer_layout.py. Single-chip/dp only —
+    # sp's token constraints assume the flat sequence.
     layout: str = "flat"
+
+    def __post_init__(self):
+        if self.layout not in ("flat", "nt"):
+            raise ValueError(f"layout must be 'flat' or 'nt', "
+                             f"got {self.layout!r}")
 
     @property
     def num_spatial_patches(self) -> int:

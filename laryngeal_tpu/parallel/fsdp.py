@@ -38,17 +38,10 @@ MIN_SHARD_ELEMS = 2 ** 16
 def fsdp_leaf_sharding(mesh: Mesh, shape, axis: str = DATA_AXIS,
                        min_elems: int = MIN_SHARD_ELEMS) -> NamedSharding:
     """Sharding for one leaf: the largest dimension divisible by the axis
-    size is sharded; small or indivisible leaves replicate."""
-    n = mesh.shape[axis]
-    if n <= 1 or int(np.prod(shape or (1,))) < min_elems:
-        return NamedSharding(mesh, P())
-    divisible = [i for i, d in enumerate(shape) if d % n == 0]
-    if not divisible:
-        return NamedSharding(mesh, P())
-    dim = max(divisible, key=lambda i: shape[i])
-    spec = [None] * len(shape)
-    spec[dim] = axis
-    return NamedSharding(mesh, P(*spec))
+    size is sharded; small or indivisible leaves replicate. (The pure-FSDP
+    special case of :func:`_compose_fsdp_spec` — one rule, two layouts.)"""
+    return NamedSharding(mesh, _compose_fsdp_spec(
+        P(), shape, mesh.shape[axis], min_elems, axis))
 
 
 def shard_train_state_fsdp(state, mesh: Mesh, axis: str = DATA_AXIS,

@@ -96,7 +96,11 @@ def run_arm(data_dir, workdir, epochs, arm_kw, full_size=False):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=10)
-    ap.add_argument("--workdir", default="/tmp/ab_train_wire")
+    ap.add_argument("--workdir", default=None,
+                    help="default: /tmp/ab_train_wire (tiny) or "
+                         "/tmp/ab_train_wire_full (--full_size) — the two "
+                         "modes generate different-geometry datasets and "
+                         "must not share a data dir")
     ap.add_argument("--full_size", action="store_true",
                     help="ViViT-B 32f 224^2 bf16 B8 ON THE CHIP (2 dctp "
                          "arms only; ~10 min/arm of remote compile on a "
@@ -116,20 +120,29 @@ def main():
 
     from laryngeal_tpu.data.synthetic import make_synthetic_dataset
 
-    work = Path(args.workdir)
+    work = Path(args.workdir or ("/tmp/ab_train_wire_full" if args.full_size
+                                 else "/tmp/ab_train_wire"))
     data = work / "data"
-    if not data.exists():
-        if args.full_size:
-            # Round-3 full-size recipe: 32 videos, learnable lesion signal.
-            make_synthetic_dataset(str(data),
-                                   {"train": 8, "val": 4, "test": 4},
-                                   num_frames=96, h=224, w=224, seed=11,
-                                   varied_lengths=True)
-        else:
-            make_synthetic_dataset(str(data),
-                                   {"train": 12, "val": 4, "test": 8},
-                                   num_frames=12, h=64, w=64, seed=21,
-                                   varied_lengths=False)
+    # Round-3 full-size recipe: 32 videos, learnable lesion signal.
+    recipe = (dict(splits={"train": 8, "val": 4, "test": 4}, num_frames=96,
+                   h=224, w=224, seed=11, varied_lengths=True)
+              if args.full_size else
+              dict(splits={"train": 12, "val": 4, "test": 8}, num_frames=12,
+                   h=64, w=64, seed=21, varied_lengths=False))
+    marker = data / ".recipe.json"
+    if data.exists():
+        # A pre-existing data dir with a different recipe would silently
+        # corrupt the measurement (e.g. a tiny-mode 64px set reused by a
+        # --full_size run, upscaled to 224 by the pipeline without error).
+        if not marker.exists() or json.loads(marker.read_text()) != recipe:
+            raise SystemExit(
+                f"{data} exists but was generated with a different recipe "
+                f"(or predates recipe markers); remove it or pass a fresh "
+                f"--workdir")
+    else:
+        kw = dict(recipe)
+        make_synthetic_dataset(str(data), kw.pop("splits"), **kw)
+        marker.write_text(json.dumps(recipe))
 
     arms = dict(ARMS)
     if args.full_size and args.arms is None:

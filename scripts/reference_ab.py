@@ -296,12 +296,23 @@ def write_report(results: dict, path: Path, epochs: int):
             lines += ["| epoch | " + " | ".join(
                 f"ref {s} | ours {s}" for s in loop_series) + " |",
                 "|---|" + "---|" * (2 * len(loop_series))]
-            for i in range(cmp_["epochs"]):
+            # Row count bounded by the SHORTEST series on either side:
+            # compare() tolerates length-mismatched histories (delta=None),
+            # so the report must too — an IndexError here would lose the
+            # multi-hour run's report (the JSON sidecar notwithstanding).
+            n_rows = min([cmp_["epochs"]]
+                         + [len(cmp_[f"{s}_{side}"]) for s in loop_series
+                            for side in ("ref", "ours")])
+            for i in range(n_rows):
                 cells = []
                 for s in loop_series:
                     cells += [f"{cmp_[f'{s}_ref'][i]:.4f}",
                               f"{cmp_[f'{s}_ours'][i]:.4f}"]
                 lines.append(f"| {i} | " + " | ".join(cells) + " |")
+            if n_rows < cmp_["epochs"]:
+                lines.append(f"| ... | (series lengths differ: table "
+                             f"truncated at {n_rows} of "
+                             f"{cmp_['epochs']} epochs) |")
             lines.append("")
             for s in series:
                 d = cmp_.get(f"{s}_max_abs_delta")
@@ -382,12 +393,17 @@ def write_report(results: dict, path: Path, epochs: int):
             continue
         lines += ["| epoch | ref train loss | ours train loss | ref val loss "
                   "| ours val loss |", "|---|---|---|---|---|"]
-        for i in range(cmp_["epochs"]):
+        n_rows = min(cmp_["epochs"],
+                     len(cmp_["train_loss_ours"]), len(cmp_["val_loss_ours"]))
+        for i in range(n_rows):
             lines.append(
                 f"| {i} | {cmp_['train_loss_ref'][i]:.4f} | "
                 f"{cmp_['train_loss_ours'][i]:.4f} | "
                 f"{cmp_['val_loss_ref'][i]:.4f} | "
                 f"{cmp_['val_loss_ours'][i]:.4f} |")
+        if n_rows < cmp_["epochs"]:
+            lines.append(f"| ... | (series lengths differ: table truncated "
+                         f"at {n_rows} of {cmp_['epochs']} epochs) |")
         lines += [
             "",
             f"- max |Δ| train loss: {cmp_['train_loss_max_abs_delta']}, "

@@ -134,6 +134,35 @@ def test_export_args_mode_roundtrip(live, tmp_path):
     np.testing.assert_allclose(got, ref, atol=1e-5, err_msg=family)
 
 
+def test_export_args_mode_composes_with_int8(live, tmp_path):
+    """weights_mode='args' + quantize='int8': the staged weight leaves are
+    the QUANTIZED tree (int8 kernels + scales ride the artifact, not f32 —
+    quantize_params rewrites params before the flatten at export.py), so
+    the int8 size win survives args mode; probs at int8 tolerance."""
+    family, predictor, clips, ref = live
+    exported, path = _roundtrip(predictor, tmp_path, f"{family}_args_q8",
+                                weights_mode="args", quantize="int8")
+    assert exported.meta["weights_mode"] == "args"
+    assert exported.meta["quantize"] == "int8"
+    probs = exported.predict(clips)
+    np.testing.assert_allclose(probs, ref, atol=0.08, err_msg=family)
+    assert (np.argmax(probs, -1) == np.argmax(ref, -1)).all()
+    # When the quantizer found eligible layers (the tiny swin3d's 16-dim
+    # Denses are all below _MIN_DIM — correctly skipped), the STAGED leaves
+    # must be the quantized tree: int8 in the manifest and fewer stored
+    # bytes than the f32 args artifact.
+    from laryngeal_tpu.ops.quant import quantize_params
+
+    _, quant_paths = quantize_params(predictor.state.params)
+    if quant_paths:
+        manifest = exported.meta["weights_manifest"]
+        assert any(e["dtype"] == "int8" for e in manifest), family
+        _, path_f32 = _roundtrip(predictor, tmp_path,
+                                 f"{family}_args_f32ref",
+                                 weights_mode="args")
+        assert path.stat().st_size < path_f32.stat().st_size, family
+
+
 def test_exported_predictor_video_path(live, tmp_path):
     """ExportedPredictor (no model code, artifact bytes only) serves a real
     video for every family and matches the live predictor's class + probs."""

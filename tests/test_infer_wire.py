@@ -116,3 +116,19 @@ def test_predict_videos_batch_mode_on_dctp_wire(video_path):
             [r["probabilities"][c] for c in sorted(r["probabilities"])],
             [solo["probabilities"][c] for c in sorted(solo["probabilities"])],
             atol=1e-5)
+
+
+def test_predict_videos_batch_mode_on_lowres_wire(video_path):
+    """Batch mode must decode at the WIRE geometry: on a lowres wire the
+    jitted forward is compiled for the reduced (crop>>1) payload, so a
+    full-crop decode here would change the payload shape mid-flight
+    (round-4 regression — predict_videos used crop geometry)."""
+    pred = _predictor("dctp", lowres=1)
+    results = pred.predict_videos([video_path, video_path], batch_size=2)
+    assert len(results) == 2
+    solo = pred.predict_video(video_path)
+    for r in results:
+        np.testing.assert_allclose(
+            [r["probabilities"][c] for c in sorted(r["probabilities"])],
+            [solo["probabilities"][c] for c in sorted(solo["probabilities"])],
+            atol=1e-5)

@@ -176,6 +176,20 @@ def test_batcher_buckets_dispatch_smallest_fit():
     b2.close()
 
 
+def test_serve_cli_rejects_malformed_buckets():
+    """Bucket validation fails fast with a clean SystemExit (not an int()
+    traceback) BEFORE any model load / warmup compile is paid."""
+    from laryngeal_tpu.cli import serve as serve_cli
+
+    for bad in ("1,4,", "1,,8", "a,b"):
+        with pytest.raises(SystemExit, match="batch_buckets"):
+            serve_cli.main(["--model", "vivit", "--model_path", "/nonexist",
+                            "--batch_buckets", bad])
+    with pytest.raises(SystemExit, match="outside"):
+        serve_cli.main(["--model", "vivit", "--model_path", "/nonexist",
+                        "--batch_buckets", "0,4"])
+
+
 def test_serve_from_exported_artifact(predictor, video_path, tmp_path):
     """The server runs against an AOT artifact (ExportedPredictor drop-in)
     with no checkpoint/model code, and matches the live predictor."""

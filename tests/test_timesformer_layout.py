@@ -23,6 +23,13 @@ def _pair(remat=False):
                 TimesformerConfig(layout="nt", **kw)))
 
 
+def test_layout_typo_rejected_at_config_time():
+    """Anything but 'flat'/'nt' raises — a typo like 'NT' must not silently
+    select the flat layout and masquerade as an nt measurement."""
+    with pytest.raises(ValueError, match="layout"):
+        TimesformerConfig(layout="NT")
+
+
 def test_nt_layout_matches_flat_logits_and_grads():
     flat, nt = _pair()
     x = jnp.asarray(np.random.default_rng(0).normal(
