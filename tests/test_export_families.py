@@ -183,3 +183,23 @@ def test_exported_predictor_video_path(live, tmp_path):
     np.testing.assert_allclose(
         list(r_art["probabilities"].values()),
         list(r_live["probabilities"].values()), atol=1e-5, err_msg=family)
+
+
+def test_future_format_version_rejected(tmp_path):
+    """Forward-compat contract of ``_FORMAT_VERSION``: an artifact written
+    by a NEWER exporter fails loudly at load — before any graph
+    deserialization or platform probing — instead of surfacing a cryptic
+    jax.export error (or silently ignoring w{K}.raw weight leaves it
+    doesn't understand, which would bake garbage into args-mode calls)."""
+    import json
+    import zipfile
+
+    from laryngeal_tpu.infer import export as ex
+
+    p = tmp_path / "future.zip"
+    with zipfile.ZipFile(p, "w") as zf:
+        zf.writestr("meta.json", json.dumps(
+            {"format_version": ex._FORMAT_VERSION + 1}))
+        zf.writestr("b1.bin", b"not a serialized graph")
+    with pytest.raises(ValueError, match="newer than"):
+        ExportedModel.load(p)
