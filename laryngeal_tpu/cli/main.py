@@ -21,6 +21,7 @@ import argparse
 import os
 import random
 import sys
+from pathlib import Path
 
 import numpy as np
 
@@ -192,6 +193,18 @@ def build_parser(model_default: str = None) -> argparse.ArgumentParser:
                         "data_config/dataset.py:48-112)")
     p.add_argument("--decode_workers", type=int, default=None,
                    help="Parallel decode threads per loader (default: auto)")
+    p.add_argument("--coordinator", type=str, default=None,
+                   help="Multi-process (multi-host) coordinator address "
+                        "host:port — process 0's reachable address. Also "
+                        "via LARYNGEAL_COORDINATOR. Each process sees its "
+                        "local chips; the mesh spans all of them "
+                        "(parallel/distributed.py)")
+    p.add_argument("--num_processes", type=int, default=None,
+                   help="Total process count for --coordinator mode "
+                        "(LARYNGEAL_NUM_PROCESSES)")
+    p.add_argument("--process_id", type=int, default=None,
+                   help="This process's rank for --coordinator mode "
+                        "(LARYNGEAL_PROCESS_ID)")
     p.add_argument("--image_size", type=int, default=None,
                    help="Model input size (defaults to crop_size)")
     return p
@@ -201,7 +214,17 @@ def run(args) -> dict:
     import jax
     import jax.numpy as jnp
 
+    from ..parallel import distributed
     from ..utils.compile_cache import enable as enable_compile_cache
+
+    # Must happen before the first backend touch: after initialize(),
+    # jax.devices() is the GLOBAL device list and the mesh spans every
+    # process's chips (ICI within a slice, DCN across hosts).
+    distributed.initialize(
+        coordinator=getattr(args, "coordinator", None),
+        num_processes=getattr(args, "num_processes", None),
+        process_id=getattr(args, "process_id", None),
+    )
 
     enable_compile_cache(getattr(args, "compile_cache_dir", None))
 
@@ -231,11 +254,31 @@ def run(args) -> dict:
     random.seed(args.seed)
     np.random.seed(args.seed)
 
-    exp_logger = ExperimentLogger(args.log_dir, prefix=f"{args.model}-classifier")
+    # Multi-process runs share ONE experiment dir (process 0's name is
+    # broadcast; per-process timestamps would diverge and rank>0 would never
+    # see the checkpoints rank 0 writes); non-primary ranks log to a
+    # rank-suffixed file and skip artifact writes.
+    is_main = jax.process_index() == 0
+    if jax.process_count() > 1:
+        from datetime import datetime
+
+        stamp = datetime.now().strftime("%Y%m%d_%H%M%S") if is_main else ""
+        name = distributed.broadcast_string(f"{args.model}-classifier-{stamp}")
+        exp_logger = ExperimentLogger(
+            str(Path(args.log_dir) / name), timestamped=False,
+            filename="experiment.log" if is_main
+            else f"experiment.rank{jax.process_index()}.log")
+    else:
+        exp_logger = ExperimentLogger(args.log_dir, prefix=f"{args.model}-classifier")
     logger = exp_logger.get_logger()
     exp_dir = exp_logger.get_experiment_dir()
     logger.info("Arguments: %s", vars(args))
     logger.info("JAX devices: %s", jax.devices())
+    if jax.process_count() > 1:
+        logger.info("Multi-process: %d processes, this is rank %d (%d local "
+                    "of %d global devices)", jax.process_count(),
+                    jax.process_index(), jax.local_device_count(),
+                    jax.device_count())
 
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     model_kwargs = dict(num_classes=args.num_classes, dtype=dtype)
@@ -299,6 +342,8 @@ def run(args) -> dict:
         wire_quality=args.wire_quality,
         wire_keep_ac=args.wire_keep_ac,
         wire_pack_from=args.wire_pack_from,
+        process_index=jax.process_index(),
+        process_count=jax.process_count(),
     )
     for split in ("train", "val", "test"):
         ds = loaders[split].dataset
@@ -396,18 +441,28 @@ def run(args) -> dict:
         # the exact model without re-supplying flags.
         "model_kwargs": {k: v for k, v in model_kwargs.items() if k != "dtype"},
     }
-    tracker = Tracker(config=config, out_dir=exp_dir, run_name=exp_dir.name)
+    tracker = (Tracker(config=config, out_dir=exp_dir, run_name=exp_dir.name)
+               if is_main else None)
 
     from ..utils.visualization import TrainingVisualizer
 
-    visualizer = TrainingVisualizer(exp_logger.get_visualization_dir())
+    visualizer = (TrainingVisualizer(exp_logger.get_visualization_dir())
+                  if is_main else None)
     # Startup sampling visualizations — up to 3 videos per split
-    # (vivit_transformer/main.py:101-137).
-    try:
-        for split in ("train", "val", "test"):
-            ds = loaders[split].dataset
-            for i in range(min(3, len(ds))):
+    # (vivit_transformer/main.py:101-137). The ds[i] draws advance
+    # stream-seeded sampler RNG, so under multi-process EVERY rank must make
+    # them (stream parity across ranks); only the plotting is rank-0.
+    for split in ("train", "val", "test"):
+        ds = loaders[split].dataset
+        for i in range(min(3, len(ds))):
+            try:
                 item = ds[i]
+            except Exception as e:
+                logger.warning("Sampling visualization failed: %s", e)
+                break  # keep going: later splits still need their draws
+            if visualizer is None:
+                continue
+            try:
                 total = ds.video_properties(item["video_path"])[0]
                 # Frame grids need RGB regardless of the feed's wire format;
                 # reuse the drawn indices (no extra sampler-RNG draw).
@@ -417,13 +472,13 @@ def run(args) -> dict:
                     item["video_path"], item["frame_indices"], total,
                     ds.sampling_method, frames=frames,
                 )
-    except Exception as e:
-        logger.warning("Sampling visualization failed: %s", e)
+            except Exception as e:
+                logger.warning("Sampling visualization failed: %s", e)
 
     # Per-video sampled-index CSV audit (resnet3d pipeline behavior,
     # resnet50-3d-video/.../dataset.py:245-288) — only meaningful when
     # sampling is per-video deterministic.
-    if spec.per_video_seed:
+    if spec.per_video_seed and is_main:
         try:
             for split in ("train", "val", "test"):
                 path = loaders[split].dataset.save_sampled_indices(exp_dir)
@@ -496,12 +551,14 @@ def run(args) -> dict:
     evaluator = Evaluator(
         trainer.eval_step, loaders["test"],
         class_names=loaders["test"].dataset.class_labels or ["non_referral", "referral"],
-        logger=logger, exp_dir=exp_dir, mesh=mesh, visualizer=visualizer,
+        logger=logger, exp_dir=exp_dir if is_main else None, mesh=mesh,
+        visualizer=visualizer,
     )
     auroc, f1, cm = evaluator.evaluate(trainer.state, sampling_method=args.test_sampling,
                                        eval_clips=args.eval_clips)
     logger.info("Final test — AUROC %.4f F1 %.4f", auroc, f1)
-    tracker.finish()
+    if tracker is not None:
+        tracker.finish()
     return {"auroc": auroc, "f1": f1, "cm": cm, "exp_dir": str(exp_dir),
             "history": trainer.history}
 

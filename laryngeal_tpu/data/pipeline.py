@@ -45,6 +45,8 @@ class ClipLoader:
         prefetch: int = 2,
         pad_last: bool = False,
         num_workers: Optional[int] = None,
+        process_index: int = 0,
+        process_count: int = 1,
     ):
         self.dataset = dataset
         self.batch_size = int(batch_size)
@@ -56,6 +58,24 @@ class ClipLoader:
         if num_workers is None:
             num_workers = min(4, os.cpu_count() or 1)
         self.num_workers = max(1, int(num_workers))
+        # Multi-process (multi-host) feed: batch_size stays the GLOBAL batch;
+        # every process walks the identical batch plan (same seed/epoch RNG
+        # streams — sampler parity is load-bearing, CLAUDE.md), but
+        # *decodes* only its contiguous 1/process_count shard of each batch.
+        # labels/mask in the emitted dict are the local shard (device feed via
+        # parallel.mesh.shard_batch -> make_array_from_process_local_data);
+        # labels_global/mask_global carry the full batch for host metrics.
+        self.process_index = int(process_index)
+        self.process_count = int(process_count)
+        if self.process_count > 1:
+            if self.batch_size % self.process_count:
+                raise ValueError(
+                    f"global batch_size {self.batch_size} must divide evenly "
+                    f"over {self.process_count} processes")
+            if not (pad_last or drop_last):
+                raise ValueError(
+                    "multi-process feed needs pad_last or drop_last so every "
+                    "process sees a full-rank batch")
         self._pool: Optional[ThreadPoolExecutor] = None
         self._epoch = 0
 
@@ -82,11 +102,30 @@ class ClipLoader:
 
     def _make_batch(self, indices) -> Dict:
         plans = [self.dataset.plan(int(i)) for i in indices]  # serial: RNG order
+        n_real = len(plans)
+        pad = (self.batch_size - n_real
+               if self.pad_last and n_real < self.batch_size else 0)
+        # Global batch rows: real items then padding repeating the last row.
+        row_plan = list(range(n_real)) + [n_real - 1] * pad
+        mask_g = np.concatenate(
+            [np.ones(n_real, np.bool_), np.zeros(pad, np.bool_)])
+        labels_g = np.asarray(
+            [plans[j]["label"] for j in row_plan], dtype=np.int32)
+        lo, hi = 0, len(row_plan)
+        if self.process_count > 1:
+            per = self.batch_size // self.process_count
+            lo, hi = self.process_index * per, (self.process_index + 1) * per
+        # Decode each needed plan once (padding rows alias the decoded clip;
+        # under multi-process only the rows in [lo, hi) are decoded at all).
+        needed = sorted({row_plan[r] for r in range(lo, hi)})
         pool = self._executor()
-        if pool is not None and len(plans) > 1:
-            items = list(pool.map(self.dataset.materialize, plans))
+        if pool is not None and len(needed) > 1:
+            mats = list(pool.map(self.dataset.materialize,
+                                 [plans[j] for j in needed]))
         else:
-            items = [self.dataset.materialize(p) for p in plans]
+            mats = [self.dataset.materialize(plans[j]) for j in needed]
+        by_plan = dict(zip(needed, mats))
+        items = [by_plan[row_plan[r]] for r in range(lo, hi)]
         first = items[0]["pixel_values"]
         if isinstance(first, tuple):
             # Wire-format payload tuple (dct: (dc, ac)) — stack leaf-wise.
@@ -95,27 +134,20 @@ class ClipLoader:
                 for k in range(len(first)))
         else:
             pixel = np.stack([it["pixel_values"] for it in items])
-        labels = np.asarray([it["label"] for it in items], dtype=np.int32)
-        mask = np.ones(len(items), dtype=np.bool_)
-        paths = [it["video_path"] for it in items]
-        frame_indices = [it["frame_indices"] for it in items]
-        if self.pad_last and len(items) < self.batch_size:
-            pad = self.batch_size - len(items)
-            _pad = lambda x: np.concatenate([x, np.repeat(x[-1:], pad, axis=0)])
-            pixel = (tuple(_pad(p) for p in pixel)
-                     if isinstance(pixel, tuple) else _pad(pixel))
-            labels = np.concatenate([labels, np.repeat(labels[-1:], pad)])
-            mask = np.concatenate([mask, np.zeros(pad, dtype=np.bool_)])
-            # Keep list fields batch-length too (masked out downstream).
-            paths = paths + [paths[-1]] * pad
-            frame_indices = frame_indices + [frame_indices[-1]] * pad
-        return {
+        out = {
             "pixel_values": pixel,
-            "labels": labels,
-            "mask": mask,
-            "video_paths": paths,
-            "frame_indices": frame_indices,
+            "labels": labels_g[lo:hi],
+            "mask": mask_g[lo:hi],
+            "video_paths": [it["video_path"] for it in items],
+            "frame_indices": [it["frame_indices"] for it in items],
         }
+        if self.process_count > 1:
+            # Full-batch view for host-side metrics (AUROC over all rows);
+            # local_rows maps this process's list fields into the global batch.
+            out["labels_global"] = labels_g
+            out["mask_global"] = mask_g
+            out["local_rows"] = (lo, hi)
+        return out
 
     def __iter__(self) -> Iterator[Dict]:
         order = self._order()
@@ -172,6 +204,8 @@ def create_dataloaders(
     wire_keep_ac: int = 31,
     wire_pack_from: int = 14,
     wire_lowres: int = 0,
+    process_index: int = 0,
+    process_count: int = 1,
 ) -> Dict[str, ClipLoader]:
     """Train/val/test loaders — the reference ``create_dataloaders`` surface
     (vivit_transformer/.../dataloader.py:52-135) for all five pipelines.
@@ -207,7 +241,9 @@ def create_dataloaders(
             shuffle=(split == "train"),
             seed=seed,
             drop_last=(split == "train" and drop_last_train),
-            pad_last=pad_last,
+            pad_last=pad_last or process_count > 1,
             num_workers=num_workers,
+            process_index=process_index,
+            process_count=process_count,
         )
     return loaders

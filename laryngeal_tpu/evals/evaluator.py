@@ -57,30 +57,51 @@ class Evaluator:
         import jax
         import jax.numpy as jnp
 
+        mp = jax.process_count() > 1
+        if mp:
+            from ..parallel.distributed import fetch_replicated
+
         probs_dev, loss_dev, masks, labels_all, paths = [], [], [], [], []
         indices_of = {}
         for batch in self.loader:
             pixel, labels, mask = prepare_batch(batch, self.mesh)
             m = self.eval_step(state, pixel, labels, mask)
+            if mp:
+                m = fetch_replicated(m)
             probs_dev.append(m["probs"])
             loss_dev.append(m["loss"])
-            valid = np.asarray(batch["mask"])
+            # Multi-process feed: metrics run over the GLOBAL batch; the
+            # list fields (paths/indices) exist only for this process's rows
+            # [lo, hi) — other rows get "" (plots are best-effort, rank 0).
+            valid = np.asarray(batch.get("mask_global", batch["mask"]))
             masks.append(valid)
-            labels_all.append(np.asarray(batch["labels"])[valid])
-            vpaths = np.asarray(batch["video_paths"])[valid].tolist()
+            labels_all.append(
+                np.asarray(batch.get("labels_global", batch["labels"]))[valid])
+            local_paths = list(batch["video_paths"])
+            local_fi = list(batch.get("frame_indices", []))
+            lo, hi = batch.get("local_rows", (0, len(local_paths)))
+            full_paths = [""] * len(valid)
+            full_paths[lo:hi] = local_paths
+            full_fi = [None] * len(valid)
+            full_fi[lo:hi] = local_fi
+            vpaths = [p for p, ok in zip(full_paths, valid) if ok]
             paths.extend(vpaths)
             # Retain the sampled indices the prediction actually consumed —
             # the plot path must not re-draw stream-seeded samplers
             # (dataset.rgb_clip docstring).
             for p, fi in zip(vpaths,
-                             [f for f, ok in zip(batch.get("frame_indices", []),
-                                                 valid) if ok]):
-                indices_of[p] = fi
+                             [f for f, ok in zip(full_fi, valid) if ok]):
+                if p and fi is not None:
+                    indices_of[p] = fi
         self._last_frame_indices = indices_of
         if not probs_dev:
             return np.zeros((0, 2)), np.zeros((0,), int), [], []
-        probs, losses = jax.device_get(
-            (jnp.concatenate(probs_dev, axis=0), jnp.stack(loss_dev)))
+        if mp:
+            probs = np.concatenate(probs_dev, axis=0)
+            losses = np.asarray(loss_dev, dtype=np.float64)
+        else:
+            probs, losses = jax.device_get(
+                (jnp.concatenate(probs_dev, axis=0), jnp.stack(loss_dev)))
         valid = np.concatenate(masks)
         probs = np.asarray(probs)[valid]
         labels = np.concatenate(labels_all)

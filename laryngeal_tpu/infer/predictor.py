@@ -33,7 +33,8 @@ class Predictor(VideoPredictorBase):
                  num_frames: int = 32, sampling_method: str = "uniform",
                  crop_size: int = 224, logger=None, wire: str = "rgb",
                  wire_quality: int = 75, wire_keep_ac: int = 31,
-                 wire_pack_from: int = 14, wire_lowres: int = 0):
+                 wire_pack_from: int = 14, wire_lowres: int = 0,
+                 mesh=None):
         self.model = model
         self.spec = spec
         self.state = state
@@ -73,7 +74,24 @@ class Predictor(VideoPredictorBase):
             logits = model.apply(variables, clips, train=False)
             return get_probs(logits)
 
-        self._forward = jax.jit(forward)
+        if mesh is not None:
+            # Batch-sharded inference: the clip payload (any wire) shards
+            # over the mesh's data axis, params/stats replicate, and probs
+            # come back replicated. Batch size must be a multiple of the
+            # data-axis size (predict_videos pads its final batch anyway).
+            from ..parallel.mesh import (batch_sharding, replicate,
+                                         replicated_sharding)
+
+            rep = replicated_sharding(mesh)
+            data = batch_sharding(mesh)
+            self.state = state = state.replace(
+                params=replicate(mesh, state.params),
+                batch_stats=replicate(mesh, state.batch_stats))
+            self._forward = jax.jit(forward, in_shardings=(rep, rep, data),
+                                    out_shardings=rep)
+        else:
+            self._forward = jax.jit(forward)
+        self.mesh = mesh
 
     @classmethod
     def from_checkpoint(cls, model_name: str, checkpoint_path,

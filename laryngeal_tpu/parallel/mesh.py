@@ -76,27 +76,62 @@ def shard_batch(mesh: Mesh, batch: Dict) -> Dict:
 
     The batch dimension must divide the data-axis size; use
     ``ClipLoader(pad_last=True)`` with a mesh-multiple batch size.
+
+    Multi-process: when ``jax.process_count() > 1`` each process passes its
+    LOCAL shard of the batch (rows per ``distributed.local_batch_slice``) and
+    the leaves are assembled into one global jax.Array spanning the whole
+    mesh via ``jax.make_array_from_process_local_data`` — the host never
+    materializes the global batch anywhere.
     """
     sharding = batch_sharding(mesh)
+    multiproc = jax.process_count() > 1
+    if multiproc:
+        from .distributed import global_batch_rows, make_global_batch
+
+        rows_cache = {}
+
+        def _put_leaf(a: np.ndarray):
+            g = rows_cache.get(a.shape[0])
+            if g is None:
+                g = rows_cache[a.shape[0]] = global_batch_rows(mesh, a.shape[0])
+            return make_global_batch(sharding, a, g)
+
+    else:
+        _put_leaf = lambda a: jax.device_put(a, sharding)
     out = {}
     for k, v in batch.items():
-        if isinstance(v, np.ndarray) or (
-            isinstance(v, tuple)
-            and v
-            and all(isinstance(a, np.ndarray) for a in v)
-        ):
+        if isinstance(v, np.ndarray):
+            out[k] = _put_leaf(v)
+        elif (isinstance(v, tuple) and v
+              and all(isinstance(a, np.ndarray) for a in v)):
             # Wire-format payloads (e.g. the dct wire's (dc, ac) tuple) are
             # pytrees of batch-leading arrays; one sharding covers all leaves.
-            out[k] = jax.device_put(v, sharding)
+            out[k] = tuple(_put_leaf(a) for a in v)
         else:
             out[k] = v
     return out
 
 
 def replicate(mesh: Mesh, tree):
-    """Replicate a pytree (params / train state) across the mesh."""
+    """Replicate a pytree (params / train state) across the mesh.
+
+    Multi-process: every process holds the same host values (deterministic
+    same-seed init); each leaf becomes a global replicated jax.Array built
+    from per-device copies on the addressable devices only.
+    """
     sharding = replicated_sharding(mesh)
-    return jax.device_put(tree, sharding)
+    if jax.process_count() <= 1:
+        return jax.device_put(tree, sharding)
+
+    local = [d for d in mesh.devices.flat
+             if d.process_index == jax.process_index()]
+
+    def _rep(x):
+        x = np.asarray(x)
+        shards = [jax.device_put(x, d) for d in local]
+        return jax.make_array_from_single_device_arrays(x.shape, sharding, shards)
+
+    return jax.tree_util.tree_map(_rep, tree)
 
 
 def shard_map_nocheck(fn, mesh: Mesh, in_specs, out_specs):

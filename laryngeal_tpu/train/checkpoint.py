@@ -40,8 +40,19 @@ def save_checkpoint(
     config: Optional[Dict] = None,
     class_labels=None,
 ) -> str:
-    """Write an Orbax checkpoint + metadata.json at `path` (a directory)."""
+    """Write an Orbax checkpoint + metadata.json at `path` (a directory).
+
+    Multi-process: EVERY process must call this (orbax's save carries
+    internal cross-process syncs — a rank-gated call deadlocks the others);
+    the filesystem side (tmp cleanup, metadata, rename) runs on process 0
+    only, with barriers around it.
+    """
     import shutil
+
+    primary = jax.process_index() == 0
+    multiproc = jax.process_count() > 1
+    if multiproc:
+        from jax.experimental import multihost_utils
 
     path = Path(path).absolute()
     path.parent.mkdir(parents=True, exist_ok=True)
@@ -49,14 +60,27 @@ def save_checkpoint(
     # interrupted save (disk full, preemption) instead of being rmtree'd
     # before the replacement exists.
     tmp = path.parent / (path.name + ".tmp")
-    if tmp.exists():
+    if primary and tmp.exists():
         shutil.rmtree(tmp)
+    if multiproc:
+        multihost_utils.sync_global_devices("laryngeal_ckpt_pre")
 
     # Gather to host numpy first: keeps checkpoints portable across meshes
     # (a tensor-parallel-sharded state restores on a single chip or a
     # different mesh shape); orbax fetches device buffers to host to write
     # them anyway, so this adds no extra transfer.
-    host_state = jax.device_get(_state_pytree(state))
+    def _to_host(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            if x.sharding.is_fully_replicated:
+                # Multi-process replicated leaf: any local shard IS the value.
+                return np.asarray(x.addressable_shards[0].data)
+            raise NotImplementedError(
+                "multi-process checkpointing of non-replicated (fsdp/tp-"
+                "across-hosts) states needs coordinated orbax saving; "
+                "replicate the state or save from a single-process run")
+        return jax.device_get(x)
+
+    host_state = jax.tree_util.tree_map(_to_host, _state_pytree(state))
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(tmp / "state", host_state)
 
@@ -69,12 +93,15 @@ def save_checkpoint(
         "id2label": {str(i): c for i, c in enumerate(class_labels)},
         "label2id": {c: i for i, c in enumerate(class_labels)},
     }
-    with open(tmp / "metadata.json", "w") as f:
-        json.dump(meta, f, indent=4, default=str)
+    if primary:
+        with open(tmp / "metadata.json", "w") as f:
+            json.dump(meta, f, indent=4, default=str)
 
-    if path.exists():
-        shutil.rmtree(path)
-    tmp.rename(path)
+        if path.exists():
+            shutil.rmtree(path)
+        tmp.rename(path)
+    if multiproc:
+        multihost_utils.sync_global_devices("laryngeal_ckpt_post")
     return str(path)
 
 

@@ -206,10 +206,14 @@ def make_train_step(
         return jax.jit(step, donate_argnums=donate)
     rep = replicated_sharding(mesh)
     data = batch_sharding(mesh)
+    # Multi-process: per-batch probs must come back to every host for the
+    # epoch metrics, and a data-sharded output is not fully addressable —
+    # replicate it (an all-gather of (B, n_classes), negligible).
+    probs_sh = rep if jax.process_count() > 1 else data
     if tp:
         return jax.jit(step, donate_argnums=donate,
                        in_shardings=(None, data, data, data, rep))
-    out_metrics = {"loss": rep, "correct": rep, "count": rep, "probs": data}
+    out_metrics = {"loss": rep, "correct": rep, "count": rep, "probs": probs_sh}
     if return_grads:
         out_metrics["grads"] = rep
     return jax.jit(
@@ -252,12 +256,13 @@ def make_eval_step(model, regime: str, loss: str, pos_weight: float = 1.0,
         return jax.jit(step)
     rep = replicated_sharding(mesh)
     data = batch_sharding(mesh)
+    probs_sh = rep if jax.process_count() > 1 else data
     if tp:
         return jax.jit(step, in_shardings=(None, data, data, data))
     return jax.jit(
         step,
         in_shardings=(rep, data, data, data),
-        out_shardings={"loss": rep, "correct": rep, "count": rep, "probs": data},
+        out_shardings={"loss": rep, "correct": rep, "count": rep, "probs": probs_sh},
     )
 
 

@@ -164,7 +164,19 @@ class Trainer:
         }
         self.start_epoch = 0
         self.best_path = self.exp_dir / "best_model"
-        self._save_config()
+        # Multi-process (multi-host) mode: every process runs the identical
+        # SPMD loop on its shard of each batch; artifacts (checkpoints,
+        # history JSON, plots, tracker events) are written by process 0 only.
+        self.multiprocess = jax.process_count() > 1
+        self.is_main_process = jax.process_index() == 0
+        if self.multiprocess:
+            from ..parallel.distributed import local_batch_slice
+
+            # Fail fast if the mesh's data-axis layout doesn't match the
+            # contiguous per-process shard the ClipLoader feeds.
+            local_batch_slice(mesh, int(config.get("batch_size", 4)))
+        if self.is_main_process:
+            self._save_config()
 
     def resume(self, checkpoint_path) -> int:
         """True mid-training resume: restore the full TrainState (params,
@@ -212,23 +224,39 @@ class Trainer:
         """
         import jax.numpy as jnp
 
+        mp = self.multiprocess
+        if mp:
+            from ..parallel.distributed import fetch_replicated
+
         dev_metrics, probs_dev, masks_host, labels_host = [], [], [], []
         t_start = time.time()
+        rng_in = np.asarray(self.rng) if mp else self.rng
         for batch in self.loaders[split]:
             pixel, labels, mask = prepare_batch(batch, self.mesh)
             if train:
-                self.state, m = self.train_step(self.state, pixel, labels, mask, self.rng)
+                self.state, m = self.train_step(self.state, pixel, labels, mask, rng_in)
             else:
                 m = self.eval_step(self.state, pixel, labels, mask)
+            if mp:
+                # Multi-process arrays can't be stacked eagerly on host; the
+                # step's metrics are replicated, so fetch per batch (each
+                # host sees the global values — no relay here, local chips).
+                m = fetch_replicated(m)
             dev_metrics.append((m["loss"], m["correct"], m["count"]))
             probs_dev.append(m["probs"])
-            masks_host.append(np.asarray(batch["mask"]))
-            labels_host.append(np.asarray(batch["labels"]))
+            # Under multi-process feed the loader ships its local shard as
+            # labels/mask and the full global batch as *_global for metrics.
+            masks_host.append(np.asarray(batch.get("mask_global", batch["mask"])))
+            labels_host.append(np.asarray(batch.get("labels_global", batch["labels"])))
 
         if dev_metrics:
             # One fused fetch: (3, n_batches) scalars + concatenated probs.
-            scalars, probs = jax.device_get((
-                jnp.asarray(dev_metrics), jnp.concatenate(probs_dev, axis=0)))
+            if mp:
+                scalars = np.asarray(dev_metrics, dtype=np.float64)
+                probs = np.concatenate(probs_dev, axis=0)
+            else:
+                scalars, probs = jax.device_get((
+                    jnp.asarray(dev_metrics), jnp.concatenate(probs_dev, axis=0)))
             # Host-side float64 reduction in batch order — numerically
             # identical to the per-batch float() accumulation it replaces.
             losses = [float(x) for x in scalars[:, 0]]
@@ -283,7 +311,7 @@ class Trainer:
                 va["loss"], va["acc"], va["auroc"], lr, dt,
                 tr["clips_per_sec"],
             )
-            if self.tracker is not None:
+            if self.tracker is not None and self.is_main_process:
                 self.tracker.log(
                     {"epoch": epoch + 1, **{f"train/{k}": v for k, v in tr.items()},
                      **{f"val/{k}": v for k, v in va.items()}, "lr": lr},
@@ -292,13 +320,16 @@ class Trainer:
 
             if self.selection(val_loss=va["loss"], val_auroc=va["auroc"], val_acc=va["acc"]):
                 best_epoch = epoch
+                # Every process calls (orbax save syncs internally under
+                # multi-process); file writes happen on process 0 only.
                 save_checkpoint(
                     self.best_path, self.state, epoch=epoch, history=self.history,
                     config=self.config, class_labels=self.class_labels,
                 )
-                self.logger.info("Saved best model (epoch %d) to %s", epoch + 1, self.best_path)
+                if self.is_main_process:
+                    self.logger.info("Saved best model (epoch %d) to %s", epoch + 1, self.best_path)
 
-            if self.visualizer is not None:
+            if self.visualizer is not None and self.is_main_process:
                 try:
                     self.visualizer.plot_training_history(self.history)
                 except Exception as e:  # visualization must never kill training
@@ -310,10 +341,32 @@ class Trainer:
                     self.logger.info("Early stopping at epoch %d", epoch + 1)
                     break
 
-        with open(self.exp_dir / "training_history.json", "w") as f:
-            json.dump(self.history, f, indent=4, default=float)
+        if self.is_main_process:
+            with open(self.exp_dir / "training_history.json", "w") as f:
+                json.dump(self.history, f, indent=4, default=float)
 
         if best_epoch >= 0:
             self.logger.info("Reloading best model from epoch %d", best_epoch + 1)
-            self.state = load_checkpoint(self.best_path, self.state)["state"]
+            if self.multiprocess:
+                # Checkpoints live on process 0's filesystem (shared in the
+                # dryrun); every process restores the same host values from a
+                # host-side template and re-replicates over the global mesh.
+                from jax.experimental import multihost_utils
+
+                from ..parallel.mesh import replicate
+
+                # Barrier: process 0 may still be renaming the checkpoint
+                # written at the final best epoch.
+                multihost_utils.sync_global_devices("laryngeal_best_ckpt")
+
+                def _to_np(x):
+                    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+                        return np.asarray(x.addressable_shards[0].data)
+                    return np.asarray(x) if isinstance(x, jax.Array) else x
+
+                host_template = jax.tree_util.tree_map(_to_np, self.state)
+                restored = load_checkpoint(self.best_path, host_template)["state"]
+                self.state = replicate(self.mesh, restored)
+            else:
+                self.state = load_checkpoint(self.best_path, self.state)["state"]
         return self.state

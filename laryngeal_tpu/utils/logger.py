@@ -13,7 +13,8 @@ from pathlib import Path
 
 
 class ExperimentLogger:
-    def __init__(self, log_dir, prefix: str = "experiment", timestamped: bool = True):
+    def __init__(self, log_dir, prefix: str = "experiment", timestamped: bool = True,
+                 filename: str = "experiment.log"):
         base = Path(log_dir)
         if timestamped:
             stamp = datetime.now().strftime("%Y%m%d_%H%M%S")
@@ -22,10 +23,10 @@ class ExperimentLogger:
             self.experiment_dir = base
         self.experiment_dir.mkdir(parents=True, exist_ok=True)
 
-        self.logger = logging.getLogger(str(self.experiment_dir))
+        self.logger = logging.getLogger(str(self.experiment_dir / filename))
         self.logger.setLevel(logging.INFO)
         self.logger.handlers.clear()
-        fh = logging.FileHandler(self.experiment_dir / "experiment.log")
+        fh = logging.FileHandler(self.experiment_dir / filename)
         ch = logging.StreamHandler()
         fmt = logging.Formatter("%(asctime)s - %(levelname)s - %(message)s")
         fh.setFormatter(fmt)
