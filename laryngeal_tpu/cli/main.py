@@ -101,7 +101,14 @@ def build_parser(model_default: str = None) -> argparse.ArgumentParser:
     p.add_argument("--checkpoint_path", type=str, default=None)
     p.add_argument("--resume", type=str, default=None,
                    help="Checkpoint dir to resume mid-training from "
-                        "(restores optimizer state + epoch counter)")
+                        "(restores optimizer state + epoch counter), or "
+                        "'auto' to pick the newest latest/best checkpoint "
+                        "under --log_dir for this model (preemption "
+                        "restart: just relaunch with --resume auto)")
+    p.add_argument("--save_every", type=int, default=1,
+                   help="Write a rolling 'latest' checkpoint every N epochs "
+                        "(preemption-safe resume point; 0 disables). Best-"
+                        "model checkpoints are separate and unaffected")
     p.add_argument("--profile_dir", type=str, default=None,
                    help="Write a jax.profiler trace of the first train epoch")
     # TPU-native extras.
@@ -435,6 +442,7 @@ def run(args) -> dict:
         "loss_weight": args.loss_weight, "acc_threshold": args.acc_threshold,
         "seed": args.seed, "crop_size": args.crop_size,
         "grad_accum_steps": args.grad_accum_steps,
+        "save_every": args.save_every,
         "use_early_stopping": spec.name != "swin3d",  # swin trainer never
         # invokes early stopping in the reference (SURVEY.md §2.3)
         # Pin the architecture in checkpoint metadata so inference rebuilds
@@ -539,7 +547,16 @@ def run(args) -> dict:
     if args.checkpoint_path:
         logger.info("Loading checkpoint %s", args.checkpoint_path)
         trainer.state = load_checkpoint(args.checkpoint_path, trainer.state)["state"]
-    if args.resume:
+    if args.resume == "auto":
+        from ..train.checkpoint import find_resume_checkpoint
+
+        found = find_resume_checkpoint(args.log_dir, args.model)
+        if found:
+            trainer.resume(found)
+        else:
+            logger.info("--resume auto: no prior checkpoint under %s — "
+                        "starting fresh", args.log_dir)
+    elif args.resume:
         trainer.resume(args.resume)
 
     if not args.skip_train:

@@ -93,6 +93,13 @@ class ClipLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
+    def set_epoch(self, epoch: int) -> None:
+        """Pin the shuffle epoch (order seed = seed + epoch). The trainer
+        calls this with the absolute epoch number so a resumed run shuffles
+        identically to the uninterrupted one (a fresh process would otherwise
+        restart the implicit per-__iter__ counter at 0)."""
+        self._epoch = int(epoch)
+
     def _order(self) -> np.ndarray:
         idx = np.arange(len(self.dataset))
         if self.shuffle:

@@ -151,6 +151,28 @@ def _restore_cross_layout(path: Path, state_template: TrainState,
     }
 
 
+def find_resume_checkpoint(log_dir, model_name: str) -> Optional[str]:
+    """Newest resumable checkpoint under ``log_dir`` for ``--resume auto``:
+    scans ``{model}-classifier-*/`` experiment dirs for rolling ``latest``
+    checkpoints (preferred — they carry the last *epoch*) falling back to
+    ``best_model``; returns the most recently modified, or None."""
+    base = Path(log_dir)
+    if not base.exists():
+        return None
+    candidates = []
+    for exp in base.glob(f"{model_name}-classifier-*"):
+        for name in ("latest", "best_model"):
+            ck = exp / name
+            if (ck / "metadata.json").exists():
+                # 'latest' wins over 'best_model' of the same run when both
+                # exist at equal recency (epoch counter is >=).
+                candidates.append((ck.stat().st_mtime, name == "latest", ck))
+    if not candidates:
+        return None
+    candidates.sort()
+    return str(candidates[-1][2])
+
+
 def load_checkpoint(path, state_template: TrainState) -> Dict[str, Any]:
     """Restore {state, epoch, history, config, class_labels} from `path`.
 

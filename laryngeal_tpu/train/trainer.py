@@ -212,7 +212,7 @@ class Trainer:
         with open(self.exp_dir / "training_config.json", "w") as f:
             json.dump(cfg, f, indent=4, default=str)
 
-    def _run_epoch(self, split: str, train: bool) -> Dict:
+    def _run_epoch(self, split: str, train: bool, epoch: int = None) -> Dict:
         """One pass over a split with *device-side* metric accumulation.
 
         Per-batch metrics stay on device (appending a jax.Array to a Python
@@ -228,6 +228,10 @@ class Trainer:
         if mp:
             from ..parallel.distributed import fetch_replicated
 
+        if train and epoch is not None and hasattr(self.loaders[split], "set_epoch"):
+            # Absolute-epoch shuffle seed: resumed runs reproduce the
+            # uninterrupted run's batch order (ClipLoader.set_epoch).
+            self.loaders[split].set_epoch(epoch)
         dev_metrics, probs_dev, masks_host, labels_host = [], [], [], []
         t_start = time.time()
         rng_in = np.asarray(self.rng) if mp else self.rng
@@ -284,7 +288,7 @@ class Trainer:
         best_epoch = -1
         for epoch in range(self.start_epoch, epochs):
             t0 = time.time()
-            tr = self._run_epoch("train", train=True)
+            tr = self._run_epoch("train", train=True, epoch=epoch)
             va = self._run_epoch("val", train=False)
             dt = time.time() - t0
 
@@ -328,6 +332,22 @@ class Trainer:
                 )
                 if self.is_main_process:
                     self.logger.info("Saved best model (epoch %d) to %s", epoch + 1, self.best_path)
+
+            # Preemption-safe rolling checkpoint: every save_every epochs a
+            # 'latest' checkpoint (full TrainState + history + epoch) is
+            # written alongside best. A preempted run resumes from the last
+            # *epoch*, not the last *improvement* (which on a plateau can be
+            # arbitrarily far back). The reference has neither (SURVEY.md §5:
+            # save-on-best only, no resume). Write-then-rename in
+            # save_checkpoint keeps the previous latest intact if the save
+            # itself is interrupted.
+            save_every = int(self.config.get("save_every", 1) or 0)
+            if save_every and (epoch + 1) % save_every == 0:
+                save_checkpoint(
+                    self.exp_dir / "latest", self.state, epoch=epoch,
+                    history=self.history, config=self.config,
+                    class_labels=self.class_labels,
+                )
 
             if self.visualizer is not None and self.is_main_process:
                 try:
