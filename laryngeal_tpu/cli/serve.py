@@ -39,6 +39,16 @@ def build_parser(model_default=None) -> argparse.ArgumentParser:
                    help="Concurrent host video decodes admitted (default: "
                         "cpu count) — excess requests queue instead of "
                         "thrashing the decode cores")
+    p.add_argument("--queue_depth", type=int, default=None,
+                   help="Bound on queued (decoded) requests awaiting the "
+                        "device (default 4x max_batch; 0 = unbounded). A "
+                        "full queue answers 503 + Retry-After instead of "
+                        "growing memory/latency without bound")
+    p.add_argument("--request_timeout_ms", type=float, default=0.0,
+                   help="Per-request deadline: requests that exhaust it "
+                        "waiting for decode capacity or in the device queue "
+                        "get 503 + Retry-After instead of stale answers "
+                        "(0 = no deadline)")
     p.add_argument("--max_upload_mb", type=float, default=512.0,
                    help="Reject /predict bodies larger than this (MB)")
     p.add_argument("--data_root", type=str, default=None,
@@ -159,6 +169,8 @@ def main(argv=None, model_default=None):
         logger=logger,
         bucket_sizes=buckets if args.batch_buckets else None,
         decode_threads=args.decode_threads,
+        queue_depth=args.queue_depth,
+        request_timeout_ms=args.request_timeout_ms,
     )
     print(f"serving on http://{args.host}:{server.port}", flush=True)
     server.serve_forever()

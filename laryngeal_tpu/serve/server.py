@@ -38,17 +38,43 @@ from typing import Optional
 import numpy as np
 
 
+class Overloaded(Exception):
+    """Server at capacity — the client should back off and retry.
+
+    Raised when the bounded request queue is full (submit) or the decode
+    admission gate can't be acquired within the request deadline. Maps to
+    HTTP 503 + Retry-After."""
+
+    def __init__(self, msg: str, retry_after_s: float = 1.0):
+        super().__init__(msg)
+        self.retry_after_s = float(retry_after_s)
+
+
+class DeadlineExceeded(Exception):
+    """Request spent its whole deadline queued — dropped before dispatch
+    (doing the forward anyway would waste device time on an answer the
+    client has already given up on). Maps to HTTP 503 + Retry-After."""
+
+
 class DynamicBatcher:
     """Coalesces single-clip requests into fixed-shape device batches.
 
     ``predict_batch`` maps a (max_batch, T, H, W, C) uint8 array to
     (max_batch, num_classes) probabilities. One daemon thread owns the
     device; callers get a Future resolved with their row.
+
+    Overload semantics (round-4 VERDICT #5): the queue is BOUNDED
+    (``queue_depth``, default 4x max_batch) — a full queue rejects at submit
+    with :class:`Overloaded` instead of growing memory and latency without
+    bound (each queued decoded clip is ~4.8 MB); and requests carry a queue
+    deadline (``request_timeout_ms``) after which they are resolved with
+    :class:`DeadlineExceeded` rather than dispatched stale.
     """
 
     def __init__(self, predict_batch, max_batch: int = 8,
                  batch_timeout_ms: float = 30.0, logger=None,
-                 bucket_sizes=None):
+                 bucket_sizes=None, queue_depth: Optional[int] = None,
+                 request_timeout_ms: float = 0.0):
         self.predict_batch = predict_batch
         self.max_batch = int(max_batch)
         # Compiled batch shapes, ascending. Default = the single max_batch
@@ -65,27 +91,45 @@ class DynamicBatcher:
         if self.bucket_sizes[-1] != self.max_batch:
             self.bucket_sizes = self.bucket_sizes + (self.max_batch,)
         self.timeout_s = float(batch_timeout_ms) / 1e3
+        self.request_timeout_s = float(request_timeout_ms) / 1e3
         self.logger = logger or logging.getLogger(__name__)
-        self._q: "queue.Queue" = queue.Queue()
+        if queue_depth is None:
+            queue_depth = 4 * self.max_batch
+        self.queue_depth = int(queue_depth)
+        # +1 headroom so close()'s sentinel always fits even when full.
+        self._q: "queue.Queue" = queue.Queue(
+            maxsize=self.queue_depth + 1 if self.queue_depth > 0 else 0)
         self._stop = object()
         self._lock = threading.Lock()
         self.n_requests = 0
         self.n_batches = 0
         self.n_errors = 0
+        self.n_rejected = 0
+        self.n_expired = 0
         self.sum_fill = 0
         self.bucket_counts = {b: 0 for b in self.bucket_sizes}
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
     def submit(self, clip_u8: np.ndarray) -> Future:
-        """(T,H,W,C) uint8 -> Future[(num_classes,) float probabilities]."""
+        """(T,H,W,C) uint8 -> Future[(num_classes,) float probabilities].
+
+        Raises :class:`Overloaded` when the bounded queue is full."""
         fut: Future = Future()
         with self._lock:
             self.n_requests += 1
-        self._q.put((clip_u8, fut))
+            if self.queue_depth > 0 and self._q.qsize() >= self.queue_depth:
+                self.n_rejected += 1
+                raise Overloaded(
+                    f"request queue full ({self.queue_depth} deep)",
+                    retry_after_s=max(1.0, self.queue_depth
+                                      * self.timeout_s / self.max_batch))
+            self._q.put_nowait((clip_u8, fut, time.monotonic()))
         return fut
 
     def close(self):
+        # The +1 queue headroom reserves a slot for this sentinel even when
+        # the request queue is at its bound.
         self._q.put(self._stop)
         self._thread.join(timeout=5)
 
@@ -116,7 +160,26 @@ class DynamicBatcher:
             batch = self._collect()
             if batch is None:
                 return
-            clips = [c for c, _ in batch]
+            if self.request_timeout_s > 0:
+                # Drop requests whose whole deadline passed while queued —
+                # the client has given up; spending device time on them only
+                # delays the live ones further (graceful overload shedding).
+                now = time.monotonic()
+                live = []
+                for clip, fut, t_enq in batch:
+                    waited = now - t_enq
+                    if waited > self.request_timeout_s:
+                        with self._lock:
+                            self.n_expired += 1
+                        fut.set_exception(DeadlineExceeded(
+                            f"request spent {waited:.2f}s queued, over the "
+                            f"{self.request_timeout_s:.2f}s deadline"))
+                    else:
+                        live.append((clip, fut, t_enq))
+                batch = live
+                if not batch:
+                    continue
+            clips = [c for c, _, _ in batch]
             n_real = len(clips)
             # Smallest compiled bucket that fits — pad with the last clip
             # so every dispatched shape is one of the pre-compiled set.
@@ -125,12 +188,12 @@ class DynamicBatcher:
                 clips.append(clips[-1])
             try:
                 probs = np.asarray(self.predict_batch(np.stack(clips)))
-                for i, (_, fut) in enumerate(batch):
+                for i, (_, fut, _) in enumerate(batch):
                     fut.set_result(probs[i])
             except Exception as e:  # resolve, never strand a waiting handler
                 with self._lock:
                     self.n_errors += 1
-                for _, fut in batch:
+                for _, fut, _ in batch:
                     if not fut.done():
                         fut.set_exception(e)
             with self._lock:
@@ -144,6 +207,10 @@ class DynamicBatcher:
                 "requests": self.n_requests,
                 "batches": self.n_batches,
                 "batch_errors": self.n_errors,
+                "rejected_queue_full": self.n_rejected,
+                "expired_in_queue": self.n_expired,
+                "queue_depth": self.queue_depth,
+                "request_timeout_ms": self.request_timeout_s * 1e3,
                 "max_batch": self.max_batch,
                 "bucket_sizes": list(self.bucket_sizes),
                 "bucket_dispatches": dict(self.bucket_counts),
@@ -158,7 +225,9 @@ class InferenceServer:
     def __init__(self, predictor, host: str = "127.0.0.1", port: int = 8008,
                  max_batch: int = 8, batch_timeout_ms: float = 30.0,
                  max_upload_mb: float = 512.0, data_root: Optional[str] = None,
-                 logger=None, bucket_sizes=None, decode_threads: int = None):
+                 logger=None, bucket_sizes=None, decode_threads: int = None,
+                 queue_depth: Optional[int] = None,
+                 request_timeout_ms: float = 0.0):
         self.predictor = predictor
         self.logger = logger or logging.getLogger(__name__)
         # Decode admission gate: host video decode is CPU-bound, so letting
@@ -184,10 +253,12 @@ class InferenceServer:
             self.logger.warning(
                 "Binding to %s without --data_root: /predict accepts "
                 "arbitrary server-readable video paths", host)
+        self.request_timeout_s = float(request_timeout_ms) / 1e3
         self.batcher = DynamicBatcher(
             lambda clips: predictor.predict_clip(clips),
             max_batch=max_batch, batch_timeout_ms=batch_timeout_ms,
             logger=self.logger, bucket_sizes=bucket_sizes,
+            queue_depth=queue_depth, request_timeout_ms=request_timeout_ms,
         )
         self.t_start = time.monotonic()
         server = self
@@ -197,11 +268,13 @@ class InferenceServer:
             def log_message(self, fmt, *args):
                 server.logger.debug("http: " + fmt, *args)
 
-            def _json(self, code: int, payload: dict):
+            def _json(self, code: int, payload: dict, extra_headers=None):
                 body = json.dumps(payload, indent=2).encode()
                 self.send_response(code)
                 self.send_header("Content-Type", "application/json")
                 self.send_header("Content-Length", str(len(body)))
+                for k, v in (extra_headers or {}).items():
+                    self.send_header(k, v)
                 self.end_headers()
                 self.wfile.write(body)
 
@@ -234,6 +307,15 @@ class InferenceServer:
                     ctype = (self.headers.get("Content-Type") or "").split(";")[0]
                     result = server.handle_predict(body, ctype)
                     self._json(200, result)
+                except Overloaded as e:
+                    # Graceful overload: bounded queue full / decode gate
+                    # saturated — tell the client when to come back instead
+                    # of letting latency and memory grow without bound.
+                    self._json(503, {"error": str(e)},
+                               {"Retry-After":
+                                str(max(1, int(round(e.retry_after_s))))})
+                except DeadlineExceeded as e:
+                    self._json(503, {"error": str(e)}, {"Retry-After": "1"})
                 except FileNotFoundError as e:
                     self._json(404, {"error": str(e)})
                 except ValueError as e:
@@ -248,6 +330,31 @@ class InferenceServer:
     @property
     def port(self) -> int:
         return self.httpd.server_address[1]
+
+    def _acquire_decode_gate(self):
+        """Decode-gate acquisition with the request deadline applied: a
+        handler that can't start decoding within the deadline returns 503
+        instead of blocking a thread (and the client) indefinitely."""
+        import contextlib
+
+        gate = self._decode_gate
+        timeout = self.request_timeout_s
+
+        @contextlib.contextmanager
+        def _cm():
+            if timeout > 0:
+                if not gate.acquire(timeout=timeout):
+                    raise Overloaded(
+                        f"decode capacity saturated for {timeout:.1f}s",
+                        retry_after_s=max(1.0, timeout))
+            else:
+                gate.acquire()
+            try:
+                yield
+            finally:
+                gate.release()
+
+        return _cm()
 
     def handle_predict(self, body: bytes, content_type: str) -> dict:
         """Decode on the handler thread, batch on the device thread."""
@@ -268,7 +375,7 @@ class InferenceServer:
                         f"root {self.data_root}")
             if not Path(path).exists():
                 raise FileNotFoundError(f"no such video: {path}")
-            with self._decode_gate:
+            with self._acquire_decode_gate():
                 clip, indices, total = pred.extract_clip_with_indices(path)
             label = path
         elif content_type in ("application/octet-stream", "") or \
@@ -279,7 +386,7 @@ class InferenceServer:
             with tempfile.NamedTemporaryFile(suffix=".mp4") as tmp:
                 tmp.write(body)
                 tmp.flush()
-                with self._decode_gate:
+                with self._acquire_decode_gate():
                     clip, indices, total = pred.extract_clip_with_indices(
                         tmp.name)
             label = "<uploaded video>"

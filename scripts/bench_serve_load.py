@@ -29,9 +29,15 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--clients", default="1,2,4,8")
+    ap.add_argument("--clients", default="1,2,4,8,16,32")
     ap.add_argument("--requests", type=int, default=24,
                     help="total requests per concurrency level")
+    ap.add_argument("--queue_depth", type=int, default=None,
+                    help="bounded batcher queue (default 4x max bucket); "
+                         "overloaded requests get 503 + Retry-After and are "
+                         "reported as 'rejected' below")
+    ap.add_argument("--request_timeout_ms", type=float, default=0.0,
+                    help="per-request deadline (503 when exhausted queued)")
     ap.add_argument("--buckets", default="1,2,4,8")
     ap.add_argument("--quantize", default="int8", choices=["none", "int8"])
     ap.add_argument("--weights_dtype", default="bf16",
@@ -124,7 +130,9 @@ def main():
 
     srv = InferenceServer(predictor, port=0, max_batch=max(buckets),
                           batch_timeout_ms=args.batch_timeout_ms,
-                          bucket_sizes=buckets)
+                          bucket_sizes=buckets,
+                          queue_depth=args.queue_depth,
+                          request_timeout_ms=args.request_timeout_ms)
     threading.Thread(target=srv.httpd.serve_forever, daemon=True).start()
     base = f"http://127.0.0.1:{srv.port}"
 
@@ -132,38 +140,49 @@ def main():
         with urllib.request.urlopen(base + path, timeout=300) as r:
             return json.loads(r.read())
 
+    import urllib.error
+
     def predict_one(video):
+        """Returns (latency_s, http_code, retry_after_or_None)."""
         body = json.dumps({"video_path": str(video)}).encode()
         req = urllib.request.Request(
             base + "/predict", data=body,
             headers={"Content-Type": "application/json"})
         t0 = time.perf_counter()
-        with urllib.request.urlopen(req, timeout=600) as r:
-            json.loads(r.read())
-        return time.perf_counter() - t0
+        try:
+            with urllib.request.urlopen(req, timeout=600) as r:
+                json.loads(r.read())
+                return time.perf_counter() - t0, r.status, None
+        except urllib.error.HTTPError as e:
+            return (time.perf_counter() - t0, e.code,
+                    e.headers.get("Retry-After"))
 
     assert get("/healthz")["status"] == "ok"
-    predict_one(paths[0])  # prime the decode path end to end
+    assert predict_one(paths[0])[1] == 200  # prime the decode path
 
     results = {}
     for n_clients in (int(c) for c in args.clients.split(",")):
         before = get("/stats")
-        lat = []
         t0 = time.perf_counter()
         with ThreadPoolExecutor(max_workers=n_clients) as pool:
             futs = [pool.submit(predict_one, paths[i % len(paths)])
                     for i in range(args.requests)]
-            lat = [f.result() for f in futs]
+            outs = [f.result() for f in futs]
         wall = time.perf_counter() - t0
         after = get("/stats")
-        lat.sort()
+        lat = sorted(t for t, code, _ in outs if code == 200)
+        n_ok = len(lat)
+        n_rej = sum(1 for _, code, _ in outs if code == 503)
         row = {
             "clients": n_clients,
             "requests": args.requests,
-            "req_per_sec": round(args.requests / wall, 2),
-            "p50_ms": round(1e3 * lat[len(lat) // 2], 1),
-            "p95_ms": round(1e3 * lat[int(len(lat) * 0.95) - 1], 1),
-            "mean_ms": round(1e3 * sum(lat) / len(lat), 1),
+            "ok": n_ok,
+            "rejected_503": n_rej,
+            "req_per_sec": round(n_ok / wall, 2),
+            "p50_ms": round(1e3 * lat[len(lat) // 2], 1) if lat else None,
+            "p95_ms": (round(1e3 * lat[max(int(len(lat) * 0.95) - 1, 0)], 1)
+                       if lat else None),
+            "mean_ms": (round(1e3 * sum(lat) / len(lat), 1) if lat else None),
             "batches": after["batches"] - before["batches"],
             "mean_fill": round((after["mean_batch_fill"] * after["batches"]
                                 - before["mean_batch_fill"]

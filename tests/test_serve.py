@@ -176,6 +176,114 @@ def test_batcher_buckets_dispatch_smallest_fit():
     b2.close()
 
 
+def test_batcher_bounded_queue_rejects_when_full():
+    """Overload semantics (round-4 VERDICT #5): a full bounded queue raises
+    Overloaded at submit instead of growing without bound; the retry hint is
+    positive; stats count the rejections."""
+    from laryngeal_tpu.serve.server import Overloaded
+
+    release = threading.Event()
+
+    def predict(clips):
+        release.wait(timeout=10)
+        return np.tile([[0.5, 0.5]], (clips.shape[0], 1))
+
+    b = DynamicBatcher(predict, max_batch=2, batch_timeout_ms=1,
+                       queue_depth=2)
+    clip = np.zeros((2, 8, 8, 3), np.uint8)
+    futs = []
+    rejected = 0
+    # First dispatch blocks in predict; keep stuffing until the bound trips.
+    for _ in range(12):
+        try:
+            futs.append(b.submit(clip))
+        except Overloaded as e:
+            rejected += 1
+            assert e.retry_after_s >= 1.0
+    assert rejected >= 1
+    assert b.stats()["rejected_queue_full"] == rejected
+    release.set()
+    for f in futs:
+        np.testing.assert_allclose(f.result(timeout=10), [0.5, 0.5])
+    b.close()
+
+
+def test_batcher_request_deadline_sheds_stale_requests():
+    """Requests that exhaust their deadline while queued resolve with
+    DeadlineExceeded and are never dispatched to the device."""
+    from laryngeal_tpu.serve.server import DeadlineExceeded
+
+    dispatched = []
+    release = threading.Event()
+
+    def predict(clips):
+        dispatched.append(clips.shape[0])
+        release.wait(timeout=10)
+        return np.tile([[0.5, 0.5]], (clips.shape[0], 1))
+
+    b = DynamicBatcher(predict, max_batch=2, batch_timeout_ms=1,
+                       queue_depth=8, request_timeout_ms=150)
+    clip = np.zeros((2, 8, 8, 3), np.uint8)
+    f1 = b.submit(clip)  # dispatches immediately, blocks in predict
+    import time
+
+    time.sleep(0.05)
+    f2 = b.submit(clip)  # sits queued past its 150 ms deadline
+    time.sleep(0.3)
+    release.set()
+    np.testing.assert_allclose(f1.result(timeout=10), [0.5, 0.5])
+    with pytest.raises(DeadlineExceeded):
+        f2.result(timeout=10)
+    assert b.stats()["expired_in_queue"] == 1
+    b.close()
+
+
+def test_server_queue_full_returns_503_with_retry_after(predictor, video_path):
+    """End-to-end HTTP overload: with queue_depth=1 and a slowed device
+    path, concurrent clients see 503 + Retry-After; the server keeps
+    answering afterwards."""
+    import time as _time
+
+    srv = InferenceServer(predictor, port=0, max_batch=1,
+                          batch_timeout_ms=1, queue_depth=1,
+                          request_timeout_ms=0.0, decode_threads=4)
+    slow_orig = srv.batcher.predict_batch
+
+    def slow(clips):
+        _time.sleep(0.4)
+        return slow_orig(clips)
+
+    srv.batcher.predict_batch = slow
+    t = threading.Thread(target=srv.httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        body = json.dumps({"video_path": str(video_path)}).encode()
+
+        def one():
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{srv.port}/predict", data=body,
+                headers={"Content-Type": "application/json"})
+            try:
+                with urllib.request.urlopen(req, timeout=30) as r:
+                    return r.status, dict(r.headers)
+            except urllib.error.HTTPError as e:
+                return e.code, dict(e.headers)
+
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            results = list(pool.map(lambda _: one(), range(8)))
+        codes = [c for c, _ in results]
+        assert 200 in codes, codes
+        assert 503 in codes, codes
+        hdrs = next(h for c, h in results if c == 503)
+        assert int(hdrs["Retry-After"]) >= 1
+        # Server recovers: a lone request succeeds post-burst.
+        code, _ = one()
+        assert code == 200
+        assert srv.batcher.stats()["rejected_queue_full"] >= 1
+    finally:
+        srv.close()
+
+
 def test_serve_cli_rejects_malformed_buckets():
     """Bucket validation fails fast with a clean SystemExit (not an int()
     traceback) BEFORE any model load / warmup compile is paid."""
