@@ -58,6 +58,8 @@ class ClipCache:
         self._store: "OrderedDict" = OrderedDict()
         self._bytes = 0
         self._lock = threading.Lock()  # decode workers share the cache
+        self.n_hits = 0
+        self.n_misses = 0
 
     def __contains__(self, key) -> bool:
         with self._lock:
@@ -82,7 +84,15 @@ class ClipCache:
             clip = self._store.get(key)
             if clip is not None:
                 self._store.move_to_end(key)
+                self.n_hits += 1
+            else:
+                self.n_misses += 1
             return clip
+
+    def stats(self) -> dict:
+        with self._lock:
+            return {"hits": self.n_hits, "misses": self.n_misses,
+                    "entries": len(self._store), "bytes": self._bytes}
 
     def put(self, key, clip) -> None:
         nbytes = self._nbytes(clip)

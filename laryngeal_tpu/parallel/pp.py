@@ -261,7 +261,12 @@ class PipelinedModel:
         else:
             raise ValueError(
                 f"pipeline parallelism supports the uniform-stack transformer "
-                f"families (vivit/timesformer), got {fam}")
+                f"families (vivit/timesformer), got {fam}. swin3d/CNNs are "
+                f"excluded by design: their heterogeneous stages (swin3d "
+                f"depths (2,2,6,2), widths 96-768) are ~3x compute-unbalanced "
+                f"at the PatchMerging cut points, so the slowest stage makes "
+                f"GPipe's best case lose to plain dp; use --fsdp for memory "
+                f"and dp for throughput (full rationale: PARITY.md pp row)")
         n_stage = mesh.shape[STAGE_AXIS]
         if model.config.num_layers % n_stage:
             raise ValueError(

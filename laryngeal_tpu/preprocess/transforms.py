@@ -259,6 +259,28 @@ def batch_preprocess(
         return jax.vmap(
             lambda v: pytorchvideo_eval(v, crop=crop, size=scale(256))
         )(clips_u8)
+    if regime in ("vivit", "timesformer"):
+        import os
+
+        # LARYNGEAL_PIL_EXACT=1 (read at trace time, like
+        # LARYNGEAL_NO_AUGMENT): route the HF-processor regimes through the
+        # bit-exact Pillow 8-bit resample (preprocess/pil_resize.py) instead
+        # of the fused float gather — kills the last ~1e-2 resampling
+        # tolerance floor vs the reference (vivit 224->256 upscale,
+        # trainers/trainer.py:22-26). Slower (integer matmuls + uint8
+        # round-trip); parity/A-B tool, not the perf path.
+        if os.environ.get("LARYNGEAL_PIL_EXACT") == "1":
+            from .pil_resize import hf_resize_center_crop_u8
+
+            size = scale(256) if regime == "vivit" else crop
+            if regime == "vivit":
+                affine = lambda v: v.astype(jnp.float32) * (4.0 / 255.0) - 3.0
+            else:
+                affine = lambda v: v.astype(jnp.float32) * (2.0 / 255.0) - 1.0
+            u8 = jnp.clip(jnp.round(clips_u8.astype(jnp.float32)),
+                          0, 255).astype(jnp.uint8)
+            return affine(jax.vmap(
+                lambda v: hf_resize_center_crop_u8(v, size, crop))(u8))
     if regime == "vivit":
         return jax.vmap(lambda v: vivit_pixels(v, crop=crop, size=scale(256)))(clips_u8)
     if regime == "timesformer":

@@ -199,8 +199,12 @@ def run_ours(variant: str, data_dir: Path, sd_path: Path, workdir: Path,
     env = os.environ.copy()
     env["PYTHONPATH"] = os.pathsep.join(
         [str(REPO)] + ([env["PYTHONPATH"]] if env.get("PYTHONPATH") else []))
+    # LARYNGEAL_PIL_EXACT: route the HF regimes through the bit-exact
+    # Pillow resample (preprocess/pil_resize.py) — the reference side
+    # resizes via PIL inside the image processor, so the A/B's last
+    # tolerance floor (PIL-vs-jax bilinear, ~1e-2 pixel) vanishes.
     env.update(MPLBACKEND="Agg", LARYNGEAL_PRETRAINED="0",
-               JAX_PLATFORMS="cpu")
+               JAX_PLATFORMS="cpu", LARYNGEAL_PIL_EXACT="1")
     proc = subprocess.run([sys.executable, "-c", code], cwd=str(workdir),
                           env=env, timeout=timeout_s, capture_output=True,
                           text=True)
