@@ -300,6 +300,22 @@ def warmup_relay(forward, params, wire: str = None):
     np.asarray(forward(params, dummy))
 
 
+def prebuild_native() -> float:
+    """Force the lazy `make` build of native/libcliploader.so BEFORE any
+    timed section. The .so is gitignored, so on a fresh checkout (every
+    driver round) the first decode_frames_auto call used to trigger the
+    build *inside* bench_decode_only's timed loop — deflating the decode
+    stage rate (r04's 27.8 and this round's first 3.7 clips/s vs the 34-38
+    BASELINE.md pins; see "Round-5 decode-probe anomaly, resolved").
+    Returns the wall seconds the load/build took (0.0-ish when already
+    built) so the JSON can show whether this session paid it."""
+    from laryngeal_tpu.data import native
+
+    t0 = time.perf_counter()
+    native.available()  # loads, building with make if needed
+    return time.perf_counter() - t0
+
+
 def bench_decode_only(paths, sampler_seed=0, wire: str = None) -> float:
     """Host decode+scale (+wire encode) rate, no device involvement."""
     from laryngeal_tpu.data.native import decode_frames_auto
@@ -310,6 +326,11 @@ def bench_decode_only(paths, sampler_seed=0, wire: str = None) -> float:
     kind, quality, keep, pack = wire_params(wire)
     hw, lr = _wire_hw(wire), wire_lowres(wire)
     sampler = FrameSampler("random", NUM_FRAMES, seed=sampler_seed + 7)
+    # Warmup outside the timer: codec init + page-cache for the first files
+    # (the build itself is handled by prebuild_native in main()).
+    for p in paths[:2]:
+        decode_frames_auto(p, list(range(NUM_FRAMES)),
+                           resize_to=(hw, hw), fmt="i420", lowres=lr)
     t0 = time.perf_counter()
     for p in paths:
         clip = decode_frames_auto(p, sampler(str(p), 96),
@@ -784,6 +805,11 @@ def main():
     # depresses every stage rate below (round-4 VERDICT weak #1).
     start_telemetry = host_quiet_guard()
 
+    # Build/load the native decoder OUTSIDE any timed section (fresh driver
+    # checkouts have no .so — the lazy in-probe build was the round-4/5
+    # decode-stage anomaly, BASELINE.md "Round-5 decode-probe anomaly").
+    native_load_s = prebuild_native()
+
     model, params = build_model()
     forward = make_forward(model)
     warmup_relay(forward, params)
@@ -844,6 +870,7 @@ def main():
         "e2e_median": round(e2e_median, 2),
         "e2e_best": round(e2e_passes[best_i], 2),
         "decode_clips_per_sec": round(decode_rate, 2),
+        "native_load_build_s": round(native_load_s, 2),
         **xfer,
         "compute_only_clips_per_sec": round(compute_rate, 2),
         "mfu_pct": round(mfu, 1),

@@ -91,6 +91,39 @@ def test_clip_cache_hit(synth_root):
     assert a["pixel_values"] is b["pixel_values"]  # cached object
 
 
+def test_clip_cache_epoch2_all_hits(synth_root):
+    """Epoch 2 of a deterministic-sampler loader never decodes: every clip is
+    a ClipCache hit. This is the rebuild's fix for the reference's
+    re-decode-every-epoch hot loop (vivit_transformer/vivit_classifier/
+    trainers/trainer.py:62-104, SURVEY §3.1) — measured end-to-end in
+    BASELINE.md "Cached-epoch training"."""
+    ds = VideoDataset(synth_root, mode="train", num_frames=8,
+                      sampling_method="uniform", resize_to=(32, 32))
+    assert ds.cache_clips  # default-on for deterministic samplers
+    loader = ClipLoader(ds, batch_size=4, shuffle=True, seed=7)
+    list(loader)  # epoch 1: all misses (cold cache)
+    s1 = ds._clip_cache.stats()
+    assert s1["misses"] == len(ds) and s1["hits"] == 0
+    list(loader)  # epoch 2: same (path, indices) keys even under shuffle
+    s2 = ds._clip_cache.stats()
+    assert s2["misses"] == s1["misses"]  # zero new decodes
+    assert s2["hits"] == len(ds)
+
+
+def test_clip_cache_gated_off_for_stream_random(synth_root):
+    """Stream-seeded random sampling draws fresh indices every epoch — the
+    cache would only grow, so VideoDataset disables it (the documented
+    random-sampling caveat; per_video_seed=True restores determinism and
+    with it the cache)."""
+    ds = VideoDataset(synth_root, mode="train", num_frames=8,
+                      sampling_method="random", resize_to=(32, 32))
+    assert not ds.cache_clips
+    ds_seeded = VideoDataset(synth_root, mode="train", num_frames=8,
+                             sampling_method="random", per_video_seed=True,
+                             resize_to=(32, 32))
+    assert ds_seeded.cache_clips
+
+
 def test_loader_batching_and_shuffle(synth_root):
     ds = VideoDataset(synth_root, mode="train", num_frames=8, resize_to=(32, 32))
     loader = ClipLoader(ds, batch_size=4, shuffle=True, seed=7)
