@@ -37,6 +37,7 @@ import tempfile
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))  # runnable as `python scripts/dryrun_multiprocess.py`
 
 EPOCHS = 2
 GLOBAL_BATCH = 8
