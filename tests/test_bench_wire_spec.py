@@ -56,3 +56,37 @@ def test_planes_per_block_tracks_spec():
     # pack_from beyond keep degenerates to the unpacked dct payload
     assert (bench._dct_planes_per_block("dctp@q75k23p99")
             == bench._dct_planes_per_block("dct@q75k23"))
+
+
+def test_prebuild_native_and_canary():
+    """Round-5 scoreboard hardening: the native build/load happens OUTSIDE
+    timed sections (prebuild_native) and the host-weather telemetry carries
+    a fixed-work CPU-speed canary (guest-invisible vCPU sharing)."""
+    t = bench.prebuild_native()
+    assert isinstance(t, float) and t >= 0.0
+    from laryngeal_tpu.data import native
+    # After prebuild the loader state is settled either way; on this image
+    # the toolchain exists so the library must be available.
+    assert native.available()
+    rate = bench.cpu_canary_mb_s(mb=8)  # tiny fixed work for a unit test
+    assert rate > 0
+
+
+def test_decode_probe_returns_wall_and_cpu_rates(tmp_path):
+    import numpy as np
+
+    from laryngeal_tpu.data.synthetic import synth_video
+    from laryngeal_tpu.data.video import write_video
+
+    rng = np.random.default_rng(0)
+    paths = []
+    for i in range(3):
+        p = tmp_path / f"v{i}.mp4"
+        write_video(p, synth_video(rng, 96, 64, 64, referral=bool(i % 2)),
+                    fps=30)
+        paths.append(p)
+    wall, cpu = bench.bench_decode_only(paths, wire="raw")
+    assert wall > 0 and cpu > 0
+    # thread_time excludes wall stalls, so the CPU-basis rate can only be
+    # >= the wall rate up to timer noise.
+    assert cpu >= wall * 0.8
