@@ -316,8 +316,12 @@ def prebuild_native() -> float:
     return time.perf_counter() - t0
 
 
-def bench_decode_only(paths, sampler_seed=0, wire: str = None) -> float:
-    """Host decode+scale (+wire encode) rate, no device involvement."""
+def bench_decode_only(paths, sampler_seed=0, wire: str = None):
+    """Host decode+scale (+wire encode) rate, no device involvement.
+
+    Returns ``(wall_rate, cpu_rate)`` clips/s: best of two timed passes on
+    the perf_counter and thread_time bases respectively (see comment below
+    on why both exist)."""
     from laryngeal_tpu.data.native import decode_frames_auto
     from laryngeal_tpu.data.samplers import FrameSampler
     from laryngeal_tpu.preprocess.dct_wire import encode_clip, encode_clip_packed
